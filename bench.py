@@ -1,0 +1,82 @@
+"""Benchmark: full fine_tune training-step throughput on real hardware.
+
+Measures examples/sec of the complete Dynamo-Depth train step (all 7
+networks forward+backward, view synthesis at every scale, full loss stack
+incl. RANSAC ground plane, Adam update) at the KITTI training resolution
+192x640 with the LiteMono backbone — the reference's headline training
+configuration (README.md:59-66).
+
+Baseline: the reference publishes no throughput numbers (SURVEY §6). The
+``vs_baseline`` ratio uses a measured-on-paper estimate of the 4x RTX 2080 Ti
+reference node at ~20 examples/s total (batch 3/GPU, per the README hardware
+note); the north-star target is >4x that on a v5e-8 (BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+REFERENCE_NODE_EXAMPLES_PER_SEC = 20.0  # 4x2080Ti estimate, see module docstring
+
+
+def main():
+    from dynamo_depth_tpu.config import DynamoConfig
+    from dynamo_depth_tpu.training.trainer import Trainer, partition_params
+    from __graft_entry__ import _synthetic_batch
+
+    cfg = DynamoConfig(
+        dataset="kitti", depth_model="litemono", batch_size=3,
+        no_train_vis=True, num_devices=0,
+    )
+    trainer = Trainer(cfg)
+    built = trainer._build_phase("fine_tune", steps_per_epoch=8000)
+    t_params, f_params = partition_params(
+        trainer.variables["params"], built["trainable_modules"]
+    )
+    batch_stats = trainer.variables.get("batch_stats", {})
+    opt_state = built["tx"].init(t_params)
+    batch = trainer.put_batch(
+        _synthetic_batch(cfg, trainer.global_B, cfg.height, cfg.width)
+    )
+
+    def step(i, t_params, batch_stats, opt_state):
+        return built["step_fn"](
+            t_params, f_params, batch_stats, opt_state, batch,
+            jax.random.PRNGKey(i), jnp.int32(i),
+        )
+
+    # compile + warmup
+    t_params, batch_stats, opt_state, losses = step(0, t_params, batch_stats, opt_state)
+    jax.block_until_ready(losses["loss"])
+    for i in range(1, 4):
+        t_params, batch_stats, opt_state, losses = step(i, t_params, batch_stats, opt_state)
+    jax.block_until_ready(losses["loss"])
+
+    n_steps = 20
+    t0 = time.perf_counter()
+    for i in range(4, 4 + n_steps):
+        t_params, batch_stats, opt_state, losses = step(i, t_params, batch_stats, opt_state)
+    jax.block_until_ready(losses["loss"])
+    dt = time.perf_counter() - t0
+
+    examples_per_sec = trainer.global_B * n_steps / dt
+    print(json.dumps({
+        "metric": "kitti_litemono_fine_tune_train_throughput",
+        "value": round(examples_per_sec, 2),
+        "unit": "examples/s",
+        "vs_baseline": round(examples_per_sec / REFERENCE_NODE_EXAMPLES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

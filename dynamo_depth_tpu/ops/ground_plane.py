@@ -1,0 +1,81 @@
+"""Batched RANSAC ground-plane estimation, fully on-device.
+
+Capability parity with the reference ``GroundPlane`` (``tools.py:76-164``):
+sample ``num_points_per_it`` points x ``max_it`` hypotheses from the bottom
+``g_prior`` fraction of rows, least-squares plane per hypothesis via normal
+equations, pick the best inlier count, return per-pixel vertical distance.
+
+TPU-first differences from the reference:
+- hypothesis sampling uses the jax PRNG on device (the reference calls
+  ``np.random.choice`` per batch element on host, tools.py:126);
+- all hypotheses are solved as one batched 3x3 system, scoring is one
+  ``(B*max_it, N) x 3`` contraction — no per-batch python loop;
+- outputs are ``stop_gradient``-ed, as the reference detaches them
+  (tools.py:101).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _plane_AB(points, vertical_axis=1):
+    """Split points (..., 3) into design matrix A (..., 3)=[x, z, 1] and target
+    b (..., 1)=y for the plane model y = w1*x + w2*z + w3 (tools.py:156-164)."""
+    b = points[..., vertical_axis : vertical_axis + 1]
+    others = [points[..., i : i + 1] for i in range(3) if i != vertical_axis]
+    A = jnp.concatenate(others + [jnp.ones_like(b)], axis=-1)
+    return A, b
+
+
+def ground_plane_fit(
+    points,
+    rng,
+    *,
+    num_points_per_it=5,
+    max_it=100,
+    tol=0.005,
+    g_prior=0.4,
+    vertical_axis=1,
+):
+    """Estimate a ground plane per batch element and point-to-plane distances.
+
+    :param points: ``(B, H, W, 3)`` camera-frame points
+    :param rng:    jax PRNG key for hypothesis sampling
+    :return: (dist ``(B, H, W, 1)``, plane_param ``(B, 3, 1)``), both
+             stop-gradient-ed.
+    """
+    B, H, W, _ = points.shape
+    gh = int(g_prior * H)
+    candidates = points[:, H - gh :, :, :].reshape(B, gh * W, 3)  # bottom rows
+    N = gh * W
+    T = num_points_per_it * max_it
+
+    # (B, T) uniform indices with replacement — same distribution as
+    # np.random.choice(N, T, replace=True) at tools.py:126.
+    idx = jax.random.randint(rng, (B, T), 0, N)
+    samp = jnp.take_along_axis(candidates, idx[..., None], axis=1)  # (B, T, 3)
+    samp = samp.reshape(B * max_it, num_points_per_it, 3)
+
+    A, b = _plane_AB(samp, vertical_axis)  # (BM, n, 3), (BM, n, 1)
+    At = jnp.swapaxes(A, 1, 2)
+    # NOTE: the reference adds the scalar 1e-6 to every entry of AtA (not to
+    # the diagonal) — tools.py:152; replicated for parity.
+    w = jnp.linalg.inv(At @ A + 1e-6) @ At @ b  # (BM, 3, 1)
+
+    # Score every hypothesis against the candidate set.
+    Ac, bc = _plane_AB(candidates, vertical_axis)  # (B, N, 3), (B, N, 1)
+    w_b = w.reshape(B, max_it, 3)
+    # dist[b, m, n] = A[b, n, :] . w[b, m, :] - y[b, n]
+    dist = jnp.einsum("bnk,bmk->bmn", Ac, w_b) - bc[:, None, :, 0]
+    inlier_frac = jnp.mean((jnp.abs(dist) < tol).astype(points.dtype), axis=2)  # (B, M)
+    best = jnp.argmax(inlier_frac, axis=1)  # (B,)
+    best_w = jnp.take_along_axis(w_b, best[:, None, None], axis=1)[:, 0, :]  # (B, 3)
+
+    # Distance of every pixel to its best plane.
+    Aall, ball = _plane_AB(points.reshape(B, H * W, 3), vertical_axis)
+    d = jnp.einsum("bnk,bk->bn", Aall, best_w) - ball[..., 0]
+    d = d.reshape(B, H, W, 1)
+
+    return jax.lax.stop_gradient(d), jax.lax.stop_gradient(best_w[..., None])

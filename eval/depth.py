@@ -1,0 +1,143 @@
+"""Depth evaluation CLI (reference ``eval/depth.py``).
+
+Part 1: overall depth metrics on <split>/test_files.txt.
+Part 2 (waymo/nuscenes): per-motion-class metrics on test_mask_files.txt.
+Writes ``<eval_dir>/<model>_<dataset>/depth/<ckpt>.txt`` in the reference's
+table format. Usage: ``python eval/depth.py -l CKPT -d DATASET``.
+"""
+
+import os.path as osp
+import sys
+
+import numpy as np
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+from dynamo_depth_tpu.config import parse_config
+from dynamo_depth_tpu.data.loader import collate
+from dynamo_depth_tpu.data.splits import read_split
+from dynamo_depth_tpu.ops.geometry import disp_to_depth
+from dynamo_depth_tpu.ops.metrics import DEPTH_METRIC_NAMES
+from dynamo_depth_tpu.training.trainer import Trainer
+from dynamo_depth_tpu.utils.io import get_model_ckpt_name, join_dir, write_to_file
+
+
+def display_str(l):
+    return "".join(["{:^15s}".format(m) for m in l])
+
+
+def batched(dataset, batch_size):
+    """Yield (batch, real_count) with the final batch padded to batch_size."""
+    n = len(dataset)
+    for start in range(0, n, batch_size):
+        idxs = list(range(start, min(start + batch_size, n)))
+        real = len(idxs)
+        while len(idxs) < batch_size:
+            idxs.append(idxs[-1])
+        yield collate([dataset.get_item(i) for i in idxs]), real
+
+
+def sample_mask_at_points(mot_mask, depth_gt):
+    """Host-side integer gather of mask labels at LiDAR point coords
+    (tools.py:56 semantics: mask[h.long(), w.long()])."""
+    B, N, _ = depth_gt.shape
+    out = np.zeros((B, N), np.int32)
+    for b in range(B):
+        h = np.clip(depth_gt[b, :, 0].astype(np.int64), 0, mot_mask.shape[1] - 1)
+        w = np.clip(depth_gt[b, :, 1].astype(np.int64), 0, mot_mask.shape[2] - 1)
+        out[b] = mot_mask[b][h, w]
+    return out
+
+
+def main():
+    cfg = parse_config()
+    cfg.print_opt = False
+    cfg.frame_ids = [0]  # only the target frame is needed (eval/depth.py:28)
+    cfg.img_ext = cfg.eval_img_ext
+
+    model_name, ckpt_name = get_model_ckpt_name(cfg.load_ckpt)
+    outdir = join_dir(cfg.eval_dir, f"{model_name}_{cfg.dataset}", "depth")
+    out_path = osp.join(outdir, f"{ckpt_name}.txt")
+    out = []
+
+    trainer = Trainer(cfg)
+    metric_names = list(DEPTH_METRIC_NAMES)
+    header = display_str(["Split"] + metric_names)
+    out.append(f"====== Model Path - {cfg.load_ckpt} ======\n")
+
+    # --- Part 1: overall ---------------------------------------------------
+    out.append("====== Depth Eval on Overall Test Set ======\n")
+    filenames = read_split(cfg.split, "test")
+    assert len(filenames) > 0
+    dataset = trainer.get_dataset(filenames, is_train=False, load_depth=True,
+                                  img_type=cfg.eval_img_type)
+    out.append(f"=== len={len(dataset)} ===")
+    out.append(header)
+
+    totals = {m: 0.0 for m in metric_names}
+    total_num = 0
+    for bi, (batch, real) in enumerate(batched(dataset, cfg.batch_size)):
+        outputs = dict(trainer.predict(batch))
+        outputs[("disp_scaled", 0, 0)], _ = disp_to_depth(
+            outputs[("disp", 0, 0)], cfg.min_depth, cfg.max_depth
+        )
+        weight = np.zeros((cfg.batch_size,), np.float32)
+        weight[:real] = 1.0
+        met = trainer.depth_metrics(batch, outputs, sample_weight=weight)
+        for m in metric_names:
+            totals[m] += float(met[m]) * real
+        total_num += real
+        if bi % 50 == 0:
+            print(f"(1/2) depth eval {bi * cfg.batch_size}/{len(dataset)}", flush=True)
+
+    out.append(display_str(["OVERALL"] + ["& {:.3f}".format(totals[m] / total_num) for m in metric_names]))
+    out.append("\n")
+
+    # --- Part 2: mask-conditioned ------------------------------------------
+    out.append("====== Depth Eval on Test Set with Segmentation Annotations ======\n")
+    if cfg.dataset == "kitti":
+        out.append("Mask Split Evaluation Skipped for KITTI.")
+    else:
+        filenames = read_split(cfg.split, "test_mask")
+        assert len(filenames) > 0
+        dataset = trainer.get_dataset(filenames, is_train=False, load_depth=True,
+                                      load_mask=True, img_type=cfg.eval_img_type)
+        out.append(f"=== len={len(dataset)} ===")
+        out.append(header)
+
+        labels = {"bg": 0, "static": 2, "mot": 1}
+        agg = {split: {m: [0.0, 0.0] for m in metric_names} for split in labels}
+        for bi, (batch, real) in enumerate(batched(dataset, cfg.batch_size)):
+            outputs = dict(trainer.predict(batch))
+            outputs[("disp_scaled", 0, 0)], _ = disp_to_depth(
+                outputs[("disp", 0, 0)], cfg.min_depth, cfg.max_depth
+            )
+            weight = np.zeros((cfg.batch_size,), np.float32)
+            weight[:real] = 1.0
+            mask_pts = sample_mask_at_points(batch["mot_mask"], batch["depth_gt"])
+            met = trainer.depth_metrics(
+                batch, outputs, mask_pts=mask_pts, labels=tuple(labels.values()),
+                sample_weight=weight,
+            )
+            for split, lbl in labels.items():
+                for m in metric_names:
+                    s, c = met[f"{m}_mask/{lbl}"]
+                    agg[split][m][0] += float(s)
+                    agg[split][m][1] += float(c)
+            if bi % 50 == 0:
+                print(f"(2/2) mask depth eval {bi * cfg.batch_size}/{len(dataset)}", flush=True)
+
+        for split in labels:
+            out.append(display_str(
+                [split.upper()]
+                + ["& {:.3f}".format(agg[split][m][0] / max(agg[split][m][1], 1)) for m in metric_names]
+            ))
+        out.append("\n")
+
+    for s in out:
+        print(s)
+    write_to_file(out, out_path)
+
+
+if __name__ == "__main__":
+    main()

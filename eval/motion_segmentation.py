@@ -1,0 +1,153 @@
+"""Binary motion segmentation evaluation CLI
+(reference ``eval/motion_segmentation.py``).
+
+Pass 1: sweep 150 thresholds over the predicted motion mask (frame -1,
+scale 0, upsampled to full resolution), accumulating tp/fp/fn against the
+ground-truth motion labels (1=moving, 2=static, 3=unlabeled). Saves a PR
+curve pdf + npz record. Pass 2 (waymo only): tally false positives by
+semantic class at the best-F1 threshold into a bar chart.
+
+Usage: ``python eval/motion_segmentation.py -l CKPT -d DATASET``.
+"""
+
+import os.path as osp
+import sys
+
+import numpy as np
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+import jax.numpy as jnp
+
+from dynamo_depth_tpu.config import parse_config
+from dynamo_depth_tpu.data.loader import collate
+from dynamo_depth_tpu.data.splits import read_split
+from dynamo_depth_tpu.ops.warp import resize_bilinear
+from dynamo_depth_tpu.training.trainer import Trainer
+from dynamo_depth_tpu.utils.io import get_model_ckpt_name, is_edge, join_dir
+
+NUM_THRD = 150
+
+
+def batched(dataset, batch_size):
+    n = len(dataset)
+    for start in range(0, n, batch_size):
+        idxs = list(range(start, min(start + batch_size, n)))
+        real = len(idxs)
+        while len(idxs) < batch_size:
+            idxs.append(idxs[-1])
+        yield collate([dataset.get_item(i) for i in idxs]), idxs[:real]
+
+
+def main():
+    cfg = parse_config()
+    cfg.frame_ids = [0, -1, 1]
+    cfg.print_opt = False
+
+    model_name, ckpt_name = get_model_ckpt_name(cfg.load_ckpt)
+    outdir = join_dir(cfg.eval_dir, f"{model_name}_{cfg.dataset}", "mot_seg")
+    pr_curve_path = osp.join(outdir, f"pr_curve_{ckpt_name}.pdf")
+    pr_record_path = osp.join(outdir, f"pr_record_{ckpt_name}.npz")
+    fp_tally_path = osp.join(outdir, f"fp_tally_{ckpt_name}.pdf")
+
+    trainer = Trainer(cfg)
+
+    filenames = read_split(cfg.split, "test_mask")
+    filenames = [f for f in filenames if not is_edge(f, cfg)]
+    assert len(filenames) > 0
+    dataset = trainer.get_dataset(filenames, is_train=False, load_mask=True,
+                                  img_type=cfg.eval_img_type)
+    full_w, full_h = dataset.FULL_RES
+    print(f"=== len={len(dataset)} ===")
+
+    eps = 1 / (NUM_THRD - 1)
+    thrds = np.linspace(0 - eps, 1 - eps, NUM_THRD).astype(np.float32)
+    motion_pred = [None] * len(dataset)
+    record = {v: np.zeros(NUM_THRD, np.float64) for v in ["tp", "fp", "fn"]}
+
+    for bi, (batch, real_idxs) in enumerate(batched(dataset, cfg.batch_size)):
+        outputs = trainer.predict(batch, bool_CmpFlow=True, bool_MotMask=True)
+        pred = resize_bilinear(outputs[("motion_mask", -1, 0)], (full_h, full_w))
+        pred = np.asarray(pred)[..., 0]  # (B, H, W)
+
+        gt = batch["mot_mask"]  # (B, H, W)
+        for ii, ind in enumerate(real_idxs):
+            motion_pred[ind] = pred[ii]
+            gm = gt[ii] == 1
+            vm = gt[ii] != 3
+            pm = pred[ii][None] > thrds[:, None, None]  # (T, H, W)
+            inter = np.logical_and(gm[None], pm)
+            g_sum = gm.sum()
+            p_sum = (pm * vm[None]).sum((1, 2))
+            tp = inter.sum((1, 2))
+            record["tp"] += tp
+            record["fp"] += p_sum - tp
+            record["fn"] += g_sum - tp
+        if bi % 20 == 0:
+            print(f"(1/2) thresholds {bi * cfg.batch_size}/{len(dataset)}", flush=True)
+
+    precision = record["tp"] / (record["tp"] + record["fp"] + 1e-10)
+    recall = record["tp"] / (record["tp"] + record["fn"] + 1e-10)
+    f1 = 2 * (precision * recall) / (precision + recall + 1e-10)
+
+    from matplotlib import pyplot as plt
+
+    fig = plt.figure()
+    plt.axhline(y=precision[0], linestyle=":")
+    plt.plot(recall[recall > 0], precision[recall > 0])
+    plt.xlim(0, 1)
+    plt.ylim(0, 1)
+    plt.xlabel("Recall")
+    plt.ylabel("Precision")
+    plt.title("Motion Segmentation PR Curve")
+    fig.savefig(pr_curve_path)
+    plt.clf()
+    out_npz = {
+        "precision": precision, "recall": recall, "f1": f1,
+        "thrds": thrds.reshape(1, NUM_THRD, 1, 1),
+    }
+    np.savez(pr_record_path, **out_npz)
+    print(f"PR curve saved to `{pr_curve_path}`.")
+    print(f"PR record saved to `{pr_record_path}`.")
+
+    if cfg.dataset == "waymo":  # waymo has semantic labels, nuscenes does not
+        best_f1_thrd = float(thrds[int(np.argmax(f1))])
+        fp_tally = {"total": 0}
+        for bi, (batch, real_idxs) in enumerate(batched(dataset, cfg.batch_size)):
+            for ii, ind in enumerate(real_idxs):
+                gt_b = batch["mot_mask"][ii] == 1
+                valid_b = batch["mot_mask"][ii] != 3
+                sem = batch["sem_mask"][ii]
+                pm = motion_pred[ind] > best_f1_thrd
+                fp_b = np.logical_and(pm > gt_b, valid_b)
+                for label, count in zip(*np.unique(sem[fp_b], return_counts=True)):
+                    fp_tally[label] = fp_tally.get(label, 0) + count
+                    fp_tally["total"] += count
+            if bi % 20 == 0:
+                print(f"(2/2) fp tally {bi * cfg.batch_size}/{len(dataset)}", flush=True)
+
+        from dynamo_depth_tpu.data.categories import WAYMO_CATEGORIES
+
+        fig = plt.figure()
+        fig.set_size_inches(20, 10)
+        cats, cnts = [], []
+        for c_idx, cnt in fp_tally.items():
+            if c_idx != "total":
+                cats.append(WAYMO_CATEGORIES[int(c_idx)])
+                cnts.append(cnt / fp_tally["total"])
+        order = np.argsort(cnts)[::-1]
+        plt.bar(np.array(cats)[order], np.array(cnts)[order])
+        plt.tick_params(axis="x", labelrotation=60)
+        plt.ylim([0, 1])
+        plt.ylabel("False Positive Rate")
+        plt.title(
+            "Motion Segmentation False Positive Tally - Thrd {:.2f} - Macro F1 {:.3f}".format(
+                best_f1_thrd, float(np.max(f1))
+            )
+        )
+        fig.savefig(fp_tally_path)
+        print(f"FP tally saved to `{fp_tally_path}`.")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,129 @@
+"""End-to-end jitted train-step tests on a 2-device CPU mesh (synthetic data).
+
+Covers: phase specialization (disp_init vs fine_tune), gradient flow into
+exactly the phase's trainable modules, shard_map data parallelism, and loss
+finiteness.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dynamo_depth_tpu.config import DynamoConfig
+from dynamo_depth_tpu.training.trainer import Trainer, partition_params
+
+H, W = 64, 96
+
+
+def tiny_cfg(**kw):
+    kw.setdefault("dataset", "kitti")
+    kw.setdefault("height", H)
+    kw.setdefault("width", W)
+    kw.setdefault("depth_model", "monodepthv2")
+    kw.setdefault("scales", [0, 1])
+    kw.setdefault("batch_size", 1)
+    kw.setdefault("num_devices", 2)
+    kw.setdefault("no_train_vis", True)
+    return DynamoConfig(**kw)
+
+
+def synthetic_batch(cfg, global_b):
+    rng = np.random.RandomState(0)
+    batch = {}
+    for f in cfg.frame_ids:
+        batch[("color", f, 0)] = rng.rand(global_b, H, W, 3).astype(np.float32)
+        batch[("color_aug", f, 0)] = rng.rand(global_b, H, W, 3).astype(np.float32)
+        batch[("ts", f)] = np.ones((global_b,), np.float32)
+    K = np.array([[0.58, 0, 0.5, 0], [0, 1.92, 0.5, 0], [0, 0, 1, 0], [0, 0, 0, 1]], np.float32)
+    for s in cfg.scales:
+        Ks = K.copy()
+        Ks[0] *= W // (2 ** s)
+        Ks[1] *= H // (2 ** s)
+        batch[("K", s)] = np.broadcast_to(Ks, (global_b, 4, 4)).copy()
+        batch[("inv_K", s)] = np.broadcast_to(np.linalg.pinv(Ks), (global_b, 4, 4)).copy()
+    return batch
+
+
+@pytest.fixture(scope="module")
+def trainer():
+    return Trainer(tiny_cfg())
+
+
+def _copy(tree):
+    # step_fn donates params/opt buffers; copy so trainer.variables survives
+    return jax.tree.map(jnp.array, tree)
+
+
+def _run_phase_step(trainer, phase, n_steps=2):
+    built = trainer._build_phase(phase, steps_per_epoch=10)
+    t_params, f_params = partition_params(
+        trainer.variables["params"], built["trainable_modules"]
+    )
+    t_params, batch_stats = _copy(t_params), _copy(trainer.variables.get("batch_stats", {}))
+    opt_state = built["tx"].init(t_params)
+    batch = trainer.put_batch(synthetic_batch(trainer.cfg, trainer.global_B))
+
+    t0 = jax.tree.map(np.asarray, t_params)
+    losses = None
+    for step in range(n_steps):
+        key = jax.random.PRNGKey(step)
+        t_params, batch_stats, opt_state, losses = built["step_fn"](
+            t_params, f_params, batch_stats, opt_state, batch, key, jnp.int32(step)
+        )
+    return t0, jax.tree.map(np.asarray, t_params), losses, built
+
+
+def test_disp_init_step_updates_depth_and_pose(trainer):
+    t0, t1, losses, built = _run_phase_step(trainer, "disp_init")
+    assert set(built["trainable_modules"]) == {"depth_enc", "depth_dec", "pose_enc", "pose_dec"}
+    loss = float(losses["loss"])
+    assert np.isfinite(loss) and loss > 0
+    # every trainable module must have actually moved
+    for mod in built["trainable_modules"]:
+        diffs = jax.tree.map(lambda a, b: float(np.abs(a - b).max()), t0[mod], t1[mod])
+        assert max(jax.tree.leaves(diffs)) > 0, f"{mod} did not update"
+    # photometric and d_smooth active; motion terms zero
+    assert float(losses["loss_term/p_photo"]) > 0
+    assert float(losses["loss_term/c_smooth"]) == 0
+    assert float(losses["loss_term/m_sparsity"]) == 0
+
+
+def test_fine_tune_step_all_networks(trainer):
+    t0, t1, losses, built = _run_phase_step(trainer, "fine_tune")
+    assert len(built["trainable_modules"]) == 7
+    assert np.isfinite(float(losses["loss"]))
+    for mod in ("motion_dec", "motion_mask", "motion_enc", "depth_enc"):
+        diffs = jax.tree.map(lambda a, b: float(np.abs(a - b).max()), t0[mod], t1[mod])
+        assert max(jax.tree.leaves(diffs)) > 0, f"{mod} did not update"
+    # motion terms now contribute
+    assert float(losses["loss_term/m_smooth"]) != 0
+
+
+def test_motion_init_freezes_depth(trainer):
+    built = trainer._build_phase("motion_init", steps_per_epoch=10)
+    assert set(built["trainable_modules"]) == {"motion_enc", "motion_dec"}
+    assert built["bool_cmp"] and not built["bool_mask"]
+
+
+def test_loss_decreases_under_repeated_steps(trainer):
+    """Overfit proxy: repeated steps on one batch should reduce the loss."""
+    built = trainer._build_phase("disp_init", steps_per_epoch=10)
+    t_params, f_params = partition_params(
+        trainer.variables["params"], built["trainable_modules"]
+    )
+    t_params, batch_stats = _copy(t_params), _copy(trainer.variables.get("batch_stats", {}))
+    opt_state = built["tx"].init(t_params)
+    batch = trainer.put_batch(synthetic_batch(trainer.cfg, trainer.global_B))
+
+    first, last = None, None
+    for step in range(8):
+        key = jax.random.PRNGKey(0)
+        t_params, batch_stats, opt_state, losses = built["step_fn"](
+            t_params, f_params, batch_stats, opt_state, batch, key, jnp.int32(step)
+        )
+        v = float(losses["loss"])
+        first = v if first is None else first
+        last = v
+    assert last < first

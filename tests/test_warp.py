@@ -1,0 +1,80 @@
+"""Parity tests for ops/warp.py against torch.nn.functional semantics."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from dynamo_depth_tpu.ops.warp import (
+    grid_sample,
+    resize_bilinear,
+    resize_nearest,
+    upsample2x_nearest,
+)
+
+
+def _to_nchw(x):
+    return torch.tensor(np.moveaxis(x, -1, 1))
+
+
+def test_grid_sample_matches_torch(rng):
+    B, H, W, C = 2, 9, 13, 3
+    img = rng.rand(B, H, W, C).astype(np.float32)
+    # grid spanning in and out of bounds
+    grid = (rng.rand(B, H, W, 2).astype(np.float32) * 2.6 - 1.3)
+
+    ours = grid_sample(jnp.asarray(img), jnp.asarray(grid))
+    gold = F.grid_sample(
+        _to_nchw(img), torch.tensor(grid), padding_mode="border", align_corners=True
+    )
+    np.testing.assert_allclose(np.asarray(ours), np.moveaxis(gold.numpy(), 1, -1), atol=1e-5)
+
+
+def test_grid_sample_gradients_match_torch(rng):
+    """The warp is differentiated through to depth/pose/flow — check both
+    d/d(image) and d/d(grid) against torch."""
+    B, H, W, C = 1, 5, 7, 2
+    img = rng.rand(B, H, W, C).astype(np.float32)
+    grid = (rng.rand(B, 4, 6, 2).astype(np.float32) * 2.2 - 1.1)
+
+    def loss_jax(im, gr):
+        return jnp.sum(grid_sample(im, gr) ** 2)
+
+    gi, gg = jax.grad(loss_jax, argnums=(0, 1))(jnp.asarray(img), jnp.asarray(grid))
+
+    tim = _to_nchw(img).requires_grad_(True)
+    tgr = torch.tensor(grid, requires_grad=True)
+    out = F.grid_sample(tim, tgr, padding_mode="border", align_corners=True)
+    (out ** 2).sum().backward()
+
+    np.testing.assert_allclose(np.asarray(gi), np.moveaxis(tim.grad.numpy(), 1, -1), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gg), tgr.grad.numpy(), atol=1e-4)
+
+
+@pytest.mark.parametrize("out_hw", [(6, 10), (17, 23), (9, 13)])
+def test_resize_bilinear_matches_torch(rng, out_hw):
+    B, H, W, C = 2, 9, 13, 3
+    img = rng.rand(B, H, W, C).astype(np.float32)
+    ours = resize_bilinear(jnp.asarray(img), out_hw)
+    gold = F.interpolate(_to_nchw(img), out_hw, mode="bilinear", align_corners=False)
+    np.testing.assert_allclose(np.asarray(ours), np.moveaxis(gold.numpy(), 1, -1), atol=1e-5)
+
+
+@pytest.mark.parametrize("out_hw", [(18, 26), (5, 6)])
+def test_resize_nearest_matches_torch(rng, out_hw):
+    B, H, W, C = 2, 9, 13, 3
+    img = rng.rand(B, H, W, C).astype(np.float32)
+    ours = resize_nearest(jnp.asarray(img), out_hw)
+    gold = F.interpolate(_to_nchw(img), out_hw, mode="nearest")
+    np.testing.assert_allclose(np.asarray(ours), np.moveaxis(gold.numpy(), 1, -1), atol=0)
+
+
+def test_upsample2x_nearest_matches_torch(rng):
+    B, H, W, C = 2, 4, 5, 3
+    img = rng.rand(B, H, W, C).astype(np.float32)
+    ours = upsample2x_nearest(jnp.asarray(img))
+    gold = F.interpolate(_to_nchw(img), scale_factor=2, mode="nearest")
+    np.testing.assert_allclose(np.asarray(ours), np.moveaxis(gold.numpy(), 1, -1), atol=0)

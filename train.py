@@ -1,0 +1,33 @@
+"""Training entry point (reference ``train.py``).
+
+Single host:      python train.py -d kitti -n my_model
+Multi-host pods:  set JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+                  JAX_PROCESS_ID (or rely on the TPU runtime's automatic
+                  configuration) — ``jax.distributed.initialize`` replaces the
+                  reference's torch.distributed NCCL process-group setup
+                  (train.py:6-10); the mesh then spans all processes and the
+                  data loader shards per host.
+"""
+
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+
+import jax
+
+from dynamo_depth_tpu.config import parse_config
+from dynamo_depth_tpu.training.trainer import Trainer
+
+
+def maybe_init_distributed():
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or int(os.environ.get("JAX_NUM_PROCESSES", "1")) > 1:
+        jax.distributed.initialize()
+
+
+if __name__ == "__main__":
+    maybe_init_distributed()
+    cfg = parse_config()
+    cfg.local_world_size = jax.process_count()
+    trainer = Trainer(cfg)
+    trainer.train()
