@@ -120,11 +120,9 @@ class BaseDataset:
         do_jitter = self.is_train and rng.rand() < self.aug_freq
         color_aug = self.jitter.sample(rng) if do_jitter else (lambda x: x)
 
+        colors = self._load_colors(folder, frame_index, side, do_flip)
         for i in self.frame_idxs:
-            img = self.get_color(folder, frame_index + i, side, do_flip)
-            if img.size != (self.width, self.height):
-                img = img.resize((self.width, self.height), Image.BICUBIC)
-            arr = np.asarray(img, dtype=np.float32) / 255.0  # (H, W, 3)
+            arr = colors[i]  # (H, W, 3) float32 in [0, 1]
             inputs[("color", i, 0)] = arr
             inputs[("color_aug", i, 0)] = color_aug(arr).astype(np.float32)
             inputs[("ts", i)] = np.float32(self.get_timestep(folder, frame_index, i))
@@ -156,6 +154,40 @@ class BaseDataset:
 
         inputs["index"] = np.int32(index)
         return inputs
+
+    def clamp_frame_index(self, frame_index: int) -> int:
+        """Per-dataset sequence-start clamping hook (KITTI maps -1 -> 0)."""
+        return frame_index
+
+    def _load_colors(self, folder, frame_index, side, do_flip):
+        """Load all triplet frames -> {frame_offset: (H, W, 3) float32}.
+
+        Prefers the native C++ data plane (fused decode + PIL-parity bicubic
+        resize + flip, threaded, GIL-free); falls back to PIL per frame.
+        """
+        from dynamo_depth_tpu.data import native
+
+        if native.available():
+            paths = [
+                self.get_img_path(folder, self.clamp_frame_index(frame_index + i), side)
+                for i in self.frame_idxs
+            ]
+            try:
+                arr = native.decode_resize_batch(
+                    paths, self.height, self.width,
+                    [do_flip] * len(paths), n_threads=1,
+                )
+                return {i: arr[k] for k, i in enumerate(self.frame_idxs)}
+            except RuntimeError:
+                pass  # e.g. unreadable file: surface via the PIL path's error
+
+        out = {}
+        for i in self.frame_idxs:
+            img = self.get_color(folder, frame_index + i, side, do_flip)
+            if img.size != (self.width, self.height):
+                img = img.resize((self.width, self.height), Image.BICUBIC)
+            out[i] = np.asarray(img, dtype=np.float32) / 255.0
+        return out
 
     # -- shared helpers -------------------------------------------------------
     def _seg_cam_dir(self, folder, *parts):

@@ -38,6 +38,10 @@ class KITTIDataset(BaseDataset):
         _, width, height = line.split()
         return int(float(height)), int(float(width))
 
+    def clamp_frame_index(self, frame_index):
+        # sequence start: frame -1 maps to 0 (kitti_dataset.py:79-80)
+        return 0 if frame_index == -1 else frame_index
+
     def _cam(self, side):
         return f"image_0{self.SIDE_MAP[side]}"
 

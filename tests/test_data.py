@@ -142,3 +142,47 @@ def test_shard_strided_batches():
     assert len(b0) == len(b1) == 4
     flat = sorted(sum(b0 + b1, []))
     assert flat == list(range(16))  # disjoint cover
+
+
+def test_native_dataplane_matches_pil(tmp_path, rng):
+    from PIL import Image as PILImage
+
+    from dynamo_depth_tpu.data import native
+
+    if not native.available():
+        pytest.skip("native data plane not built")
+
+    img = (rng.rand(100, 150, 3) * 255).astype("uint8")
+    p = str(tmp_path / "img.png")
+    PILImage.fromarray(img).save(p)
+
+    for flip in (False, True):
+        src = PILImage.open(p)
+        if flip:
+            src = src.transpose(PILImage.FLIP_LEFT_RIGHT)
+        gold = np.asarray(src.resize((96, 64), PILImage.BICUBIC), np.float32) / 255
+        ours = native.decode_resize_batch([p], 64, 96, [flip])[0]
+        assert np.abs(gold - ours).max() <= 1.01 / 255
+
+
+@needs_assets
+def test_native_and_pil_dataset_paths_agree():
+    import dynamo_depth_tpu.data.native as native
+
+    if not native.available():
+        pytest.skip("native data plane not built")
+    ds = make_nusc(["scenes/scene-0001 1"])
+    item_native = ds.get_item(0, rng=np.random.RandomState(0))
+
+    import os
+
+    os.environ["DYNAMO_NO_NATIVE"] = "1"
+    old_lib, native._lib, native._build_failed = native._lib, None, True
+    try:
+        item_pil = ds.get_item(0, rng=np.random.RandomState(0))
+    finally:
+        native._lib, native._build_failed = old_lib, False
+        del os.environ["DYNAMO_NO_NATIVE"]
+
+    d = np.abs(item_native[("color", 0, 0)] - item_pil[("color", 0, 0)])
+    assert d.max() <= 1.01 / 255

@@ -16,6 +16,12 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 import jax
 
+# The axon TPU plugin prepends itself to jax_platforms regardless of the
+# JAX_PLATFORMS env var; DYNAMO_FORCE_PLATFORM=cpu forces a platform for
+# CPU-mesh testing.
+if os.environ.get("DYNAMO_FORCE_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["DYNAMO_FORCE_PLATFORM"])
+
 from dynamo_depth_tpu.config import parse_config
 from dynamo_depth_tpu.training.trainer import Trainer
 
