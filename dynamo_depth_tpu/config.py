@@ -108,6 +108,9 @@ class DynamoConfig:
 
     # LOADING options
     load_ckpt: str = ""
+    # TPU-native addition: restore optimizer state from load_ckpt/adam.msgpack
+    # (the reference saves but never reloads it — Trainer.py:706-707).
+    resume_optim: bool = False
 
     # LOGGING options (reference options.py:224-242)
     log_frequency: int = 100
@@ -235,6 +238,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gp_max_it", type=int, default=100)
     p.add_argument("--gp_np_per_it", type=int, default=5)
     p.add_argument("--load_ckpt", "-l", type=str, default="")
+    p.add_argument("--resume_optim", action="store_true")
     p.add_argument("--log_frequency", type=int, default=100)
     p.add_argument("--no_train_vis", action="store_true")
     p.add_argument("--save_frequency", type=int, default=1)

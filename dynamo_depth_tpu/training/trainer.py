@@ -247,8 +247,52 @@ class Trainer:
         )
         step_fn = jax.jit(sharded, donate_argnums=(0, 2, 3))
 
+        # Eval-mode step for validation monitoring (Trainer.py:175-195):
+        # running batch stats, no grads, plus disp_scaled for depth metrics.
+        def eval_step(variables, batch, rng, step):
+            inputs = trainer.process_inputs_device(batch)
+            rng_drop, rng_loss = jax.random.split(rng)
+            outputs = model.apply(
+                variables, inputs, train=False,
+                bool_CmpFlow=bool_cmp, bool_MotMask=bool_mask,
+            )
+            view_synthesis(cfg, inputs, outputs,
+                           bool_CmpFlow=bool_cmp, bool_MotMask=bool_mask, automask=automask)
+            losses = compute_losses(
+                cfg, inputs, outputs, rng_loss,
+                bool_CmpFlow=bool_cmp, bool_MotMask=bool_mask, automask=automask,
+                trainable_networks=networks,
+                step_in_phase=step, steps_per_epoch=steps_per_epoch,
+            )
+            return losses, outputs[("disp_scaled", 0, 0)]
+
+        # Visualization forward (compiled lazily, only when wandb vis is on):
+        # returns the tensors for the 3x3 training grid (Trainer.py:607-654).
+        def vis_step(variables, batch):
+            inputs = trainer.process_inputs_device(batch)
+            outputs = model.apply(
+                variables, inputs, train=False,
+                bool_CmpFlow=bool_cmp, bool_MotMask=bool_mask,
+            )
+            view_synthesis(cfg, inputs, outputs,
+                           bool_CmpFlow=bool_cmp, bool_MotMask=bool_mask, automask=automask)
+            f = cfg.frame_ids[1]
+            return {
+                "color": inputs[("color", 0, 0)],
+                "recon": outputs[("color", f, 0)],
+                "disp": outputs[("disp", 0, 0)],
+                "mask": outputs[("motion_mask_r", f, 0)],
+                "depth": outputs[("depth", 0, 0)],
+                "independ_flow": outputs[("independ_flow", f, 0)],
+                "K": inputs[("K", 0)],
+                "inv_K": inputs[("inv_K", 0)],
+                "T": outputs[("cam_T_cam", 0, f)],
+            }
+
         built = {
             "step_fn": step_fn,
+            "eval_fn": jax.jit(eval_step),
+            "vis_fn": jax.jit(vis_step),
             "tx": tx,
             "networks": networks,
             "trainable_modules": trainable_modules,
@@ -286,6 +330,13 @@ class Trainer:
         )
         batch_stats = self.variables.get("batch_stats", {})
         opt_state = built["tx"].init(t_params)
+        if getattr(cfg, "resume_optim", False) and cfg.load_ckpt:
+            # The reference saves adam.pth but never reloads it
+            # (Trainer.py:706-707, model.py:174); we restore it when asked.
+            restored = ckpt.load_opt_state(opt_state, osp.expanduser(cfg.load_ckpt))
+            if restored is not None:
+                opt_state = restored
+                self.print(f"restored optimizer state from {cfg.load_ckpt}")
         rep = replicated_sharding(self.mesh)
         t_params, f_params, batch_stats, opt_state = jax.device_put(
             (t_params, f_params, batch_stats, opt_state), rep
@@ -294,7 +345,13 @@ class Trainer:
         self.step = 0
         self.num_total_steps = steps_per_epoch * num_epoch
         self.start_time = time.time()
-        val_loader = None
+        self._val_iter = None
+
+        if cfg.profile:
+            from jax import profiler as _profiler
+
+            trace_dir = join_dir(self.log_path, "traces", phase)
+            _profiler.start_trace(trace_dir)
 
         for epoch in range(num_epoch):
             self.epoch = epoch
@@ -325,6 +382,9 @@ class Trainer:
                     self.log_time(batch_idx, max(dur, 1e-9), loss_val, data_t, comp_t)
                     data_t, comp_t = 0.0, 0.0
                     self.log_scalars("train", losses)
+                    self.log_vis("train", built, merge_params(t_params, f_params),
+                                 batch_stats, device_batch)
+                    self.val(built, merge_params(t_params, f_params), batch_stats)
 
                 comp_t += time.time() - t0
                 self.g_step += 1
@@ -342,6 +402,38 @@ class Trainer:
             "params": merge_params(t_params, f_params),
             "batch_stats": batch_stats,
         }
+        if cfg.profile:
+            from jax import profiler as _profiler
+
+            _profiler.stop_trace()
+
+    def val(self, built, params, batch_stats):
+        """Evaluate one validation minibatch for training monitoring
+        (Trainer.py:175-195 — val is never used for model selection)."""
+        try:
+            if self._val_iter is None:
+                self._val_loader = self._make_val_loader()
+                self._val_iter = iter(self._val_loader)
+            try:
+                batch = next(self._val_iter)
+            except StopIteration:
+                self._val_iter = iter(self._val_loader)
+                batch = next(self._val_iter)
+        except (FileNotFoundError, StopIteration):
+            return  # no validation data available
+
+        device_batch = self.put_batch(self._train_keys_only(batch))
+        self.rng, k = jax.random.split(self.rng)
+        losses, disp_scaled = built["eval_fn"](
+            {"params": params, "batch_stats": batch_stats},
+            device_batch, k, jnp.int32(self.step),
+        )
+        losses = dict(losses)
+        if "depth_gt" in batch:
+            losses.update(
+                self.depth_metrics(batch, {("disp_scaled", 0, 0): disp_scaled})
+            )
+        self.log_scalars("val", losses)
 
     def _train_keys_only(self, batch: Dict) -> Dict:
         """Strip host-only keys the step doesn't consume."""
@@ -443,6 +535,50 @@ class Trainer:
         try:
             package = {f"{mode}_{k}": np.asarray(v).item() for k, v in losses.items()
                        if np.ndim(v) == 0}
+            self._wandb.log(package, step=self.g_step)
+        except Exception:
+            pass
+
+    def log_vis(self, mode, built, params, batch_stats, device_batch):
+        """3x3 wandb visualization grid per sample (Trainer.py:607-654):
+        [rgb | recon | scaled L1], [disp | mask | depth], [ego | independent |
+        total flow colorwheels]."""
+        if self._wandb is None or self.cfg.no_train_vis or not is_main_process():
+            return
+        from dynamo_depth_tpu.utils.vis import hsv_to_rgb, vis_motion
+
+        out = jax.tree.map(
+            np.asarray,
+            built["vis_fn"]({"params": params, "batch_stats": batch_stats}, device_batch),
+        )
+        color, recon = out["color"], out["recon"]
+        l1 = np.abs(color - recon).mean(-1, keepdims=True)
+        l1 = l1 / (l1.max() + 1e-6)
+
+        ego_hsv, ego_mag = vis_motion(out["depth"], out["K"], out["inv_K"],
+                                      motion_map=None, camTcam=out["T"])
+        ind_hsv, ind_mag = vis_motion(out["depth"], out["K"], out["inv_K"],
+                                      motion_map=out["independ_flow"], camTcam=None)
+        tot_hsv, tot_mag = vis_motion(out["depth"], out["K"], out["inv_K"],
+                                      motion_map=out["independ_flow"], camTcam=out["T"])
+        max_mag = max(ego_mag, ind_mag, tot_mag)
+        for hsv, mag in ((ego_hsv, ego_mag), (ind_hsv, ind_mag), (tot_hsv, tot_mag)):
+            hsv[..., 2] = np.clip(hsv[..., 2] * mag / max_mag, 0, 1)
+        ego_f, ind_f, tot_f = (1 - hsv_to_rgb(h) for h in (ego_hsv, ind_hsv, tot_hsv))
+
+        def rep3(x):
+            return np.repeat(x, 3, axis=-1)
+
+        package = {}
+        for j in range(min(color.shape[0], self.B)):
+            row1 = np.concatenate([color[j], recon[j], rep3(l1[j])], axis=1)
+            row2 = np.concatenate(
+                [rep3(out["disp"][j]), rep3(out["mask"][j]),
+                 rep3(out["depth"][j] / out["depth"][j].max())], axis=1)
+            row3 = np.concatenate([ego_f[j], ind_f[j], tot_f[j]], axis=1)
+            grid = np.clip(np.concatenate([row1, row2, row3], axis=0), 0, 1)
+            package[f"vis/{mode}_{j}"] = self._wandb.Image(grid)
+        try:
             self._wandb.log(package, step=self.g_step)
         except Exception:
             pass

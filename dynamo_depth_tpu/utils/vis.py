@@ -97,3 +97,37 @@ def make_mp4(images, filename, fps=30, quality=8, macro_block_size=1, bgr=True):
     imageio.mimwrite(
         filename, frames, fps=fps, quality=quality, macro_block_size=macro_block_size
     )
+
+
+def vis_motion(depth, K, inv_K, motion_map=None, camTcam=None):
+    """Optical-flow colorwheel inputs from depth + motion (Trainer.py:574-605).
+
+    depth: (B, H, W, 1); motion_map: (B, H, W, 3) or None; camTcam: (B, 4, 4)
+    or None. Returns (hsv (B, H, W, 3), max_mag). Projection error at T=None
+    is subtracted as in the reference.
+    """
+    import jax.numpy as jnp
+
+    from dynamo_depth_tpu.ops.geometry import backproject, project
+
+    B, h, w, _ = depth.shape
+    ind_map = make_ind_map(h, w)  # (1, H, W, 2)
+
+    pts = backproject(jnp.asarray(depth), jnp.asarray(inv_K))
+    pix_id, _ = project(pts, jnp.asarray(K), None, height=h, width=w)
+    err = np.asarray(pix_id) - ind_map
+
+    pts2 = backproject(jnp.asarray(depth), jnp.asarray(inv_K))
+    if motion_map is not None:
+        pts2 = pts2 + jnp.asarray(motion_map).reshape(B, h * w, 3)
+    T = None if camTcam is None else jnp.asarray(camTcam)
+    pix, _ = project(pts2, jnp.asarray(K), T, height=h, width=w)
+    motion_raw = np.asarray(pix) - ind_map - err  # (B, H, W, 2)
+
+    mag, theta = cart2polar(motion_raw)
+    max_mag = float(mag.max()) + 1e-8
+    hsv = np.ones((B, h, w, 3), np.float32)
+    hsv[..., 0] = (theta - np.pi / 4) % (2 * np.pi) / (2 * np.pi)
+    hsv[..., 1] = 1.0
+    hsv[..., 2] = mag / max_mag
+    return hsv, max_mag

@@ -31,36 +31,7 @@ from dynamo_depth_tpu.utils.io import (
     join_dir,
     readlines,
 )
-from dynamo_depth_tpu.utils.vis import cart2polar, hsv_to_rgb, make_ind_map, make_mp4, score_map_vis
-
-
-def vis_motion(cfg, depth, K, inv_K, motion_map=None, camTcam=None):
-    """Optical-flow colorwheel from depth + motion (Trainer.py:574-605).
-
-    depth: (B, H, W, 1); motion_map: (B, H, W, 3) or None; camTcam: (B, 4, 4)
-    or None. Returns (hsv (B, H, W, 3), max_mag).
-    """
-    B, h, w, _ = depth.shape
-    ind_map = make_ind_map(h, w)  # (1, H, W, 2)
-
-    pts = backproject(jnp.asarray(depth), jnp.asarray(inv_K))
-    pix_id, _ = project(pts, jnp.asarray(K), None, height=h, width=w)
-    err = np.asarray(pix_id) - ind_map  # projection error correction
-
-    pts2 = backproject(jnp.asarray(depth), jnp.asarray(inv_K))
-    if motion_map is not None:
-        pts2 = pts2 + jnp.asarray(motion_map).reshape(B, h * w, 3)
-    T = None if camTcam is None else jnp.asarray(camTcam)
-    pix, _ = project(pts2, jnp.asarray(K), T, height=h, width=w)
-    motion_raw = np.asarray(pix) - ind_map - err  # (B, H, W, 2)
-
-    mag, theta = cart2polar(motion_raw)
-    max_mag = float(mag.max()) + 1e-8
-    hsv = np.ones((B, h, w, 3), np.float32)
-    hsv[..., 0] = (theta - np.pi / 4) % (2 * np.pi) / (2 * np.pi)
-    hsv[..., 1] = 1.0
-    hsv[..., 2] = mag / max_mag
-    return hsv, max_mag
+from dynamo_depth_tpu.utils.vis import hsv_to_rgb, make_mp4, score_map_vis, vis_motion
 
 
 def get_vis(cfg, trainer, batch, ref_frame_id, scale=0,
@@ -92,7 +63,7 @@ def get_vis(cfg, trainer, batch, ref_frame_id, scale=0,
         )
 
         if "ego_flow" in items:
-            hsv, mag = vis_motion(cfg, depth, K, inv_K, motion_map=None, camTcam=camTcam)
+            hsv, mag = vis_motion(depth, K, inv_K, motion_map=None, camTcam=camTcam)
             col["ego_flow"] = {"hsv": hsv, "mag": mag}
 
         if "ind_flow" in items or "samp_flow" in items:
@@ -103,16 +74,16 @@ def get_vis(cfg, trainer, batch, ref_frame_id, scale=0,
             independ = np.asarray(outputs[("motion_mask", f_id, s)]) * (
                 np.asarray(outputs[("complete_flow", f_id, s)]) - ego_flow
             )
-            hsv, mag = vis_motion(cfg, depth, K, inv_K, motion_map=independ, camTcam=None)
+            hsv, mag = vis_motion(depth, K, inv_K, motion_map=independ, camTcam=None)
             col["ind_flow"] = {"hsv": hsv, "mag": mag}
 
         if "comp_flow" in items:
             cf = np.asarray(outputs[("complete_flow", f_id, s)])
-            hsv, mag = vis_motion(cfg, depth, K, inv_K, motion_map=cf, camTcam=None)
+            hsv, mag = vis_motion(depth, K, inv_K, motion_map=cf, camTcam=None)
             col["comp_flow"] = {"hsv": hsv, "mag": mag}
 
         if "samp_flow" in items:
-            hsv, mag = vis_motion(cfg, depth, K, inv_K, motion_map=independ, camTcam=camTcam)
+            hsv, mag = vis_motion(depth, K, inv_K, motion_map=independ, camTcam=camTcam)
             col["samp_flow"] = {"hsv": hsv, "mag": mag}
 
     return col
