@@ -30,13 +30,21 @@ REFERENCE_NODE_EXAMPLES_PER_SEC = 20.0  # 4x2080Ti estimate, see module docstrin
 
 
 def main():
+    import argparse
+
     from dynamo_depth_tpu.config import DynamoConfig
     from dynamo_depth_tpu.training.trainer import Trainer, partition_params
     from __graft_entry__ import _synthetic_batch
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--compute_dtype", default="float32", choices=["float32", "bfloat16"])
+    ap.add_argument("--batch_size", type=int, default=3)
+    ap.add_argument("--depth_model", default="litemono")
+    args = ap.parse_args()
+
     cfg = DynamoConfig(
-        dataset="kitti", depth_model="litemono", batch_size=3,
-        no_train_vis=True, num_devices=0,
+        dataset="kitti", depth_model=args.depth_model, batch_size=args.batch_size,
+        compute_dtype=args.compute_dtype, no_train_vis=True, num_devices=0,
     )
     trainer = Trainer(cfg)
     built = trainer._build_phase("fine_tune", steps_per_epoch=8000)

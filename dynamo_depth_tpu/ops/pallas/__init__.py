@@ -9,3 +9,4 @@ the XLA twin).
 from dynamo_depth_tpu.ops.pallas.photometric_kernel import (  # noqa: F401
     reprojection_loss_fused,
 )
+from dynamo_depth_tpu.ops.pallas.warp_kernel import grid_sample_pallas  # noqa: F401

@@ -80,6 +80,16 @@ def merge_params(train: Dict, frozen: Dict) -> Dict:
     return out
 
 
+
+def _outputs_to_f32(outputs):
+    """bf16 network outputs -> fp32 before view synthesis: sample coordinates
+    and losses must not inherit bf16's ~2^-8 relative quantization."""
+    return {
+        k: (v.astype(jnp.float32) if hasattr(v, "dtype") and v.dtype == jnp.bfloat16 else v)
+        for k, v in outputs.items()
+    }
+
+
 class Trainer:
     """Holds model variables + per-phase compiled steps; used by train.py and
     (as a model-serving container) by every eval CLI, mirroring the
@@ -180,6 +190,20 @@ class Trainer:
         shard = batch_sharding(self.mesh)
         return jax.tree.map(lambda x: jax.device_put(x, shard), batch)
 
+    def _device_prefetch(self, loader):
+        """Double-buffer: issue the (async) host->device transfer of batch
+        k+1 while the step on batch k runs — the reference relies on
+        pin_memory + DataLoader workers for the same overlap."""
+        it = iter(loader)
+        pending = None
+        for batch in it:
+            device_batch = self.put_batch(self._train_keys_only(batch))
+            if pending is not None:
+                yield pending
+            pending = device_batch
+        if pending is not None:
+            yield pending
+
     # ------------------------------------------------------------ train steps
 
     def _lr_schedule(self, lr_factor: float, steps_per_epoch: int):
@@ -215,6 +239,7 @@ class Trainer:
                 inputs, train=True, bool_CmpFlow=bool_cmp, bool_MotMask=bool_mask,
                 mutable=["batch_stats"], rngs={"droppath": rng_drop},
             )
+            outputs = _outputs_to_f32(outputs)
             view_synthesis(cfg, inputs, outputs,
                            bool_CmpFlow=bool_cmp, bool_MotMask=bool_mask, automask=automask)
             losses = compute_losses(
@@ -252,10 +277,10 @@ class Trainer:
         def eval_step(variables, batch, rng, step):
             inputs = trainer.process_inputs_device(batch)
             rng_drop, rng_loss = jax.random.split(rng)
-            outputs = model.apply(
+            outputs = _outputs_to_f32(model.apply(
                 variables, inputs, train=False,
                 bool_CmpFlow=bool_cmp, bool_MotMask=bool_mask,
-            )
+            ))
             view_synthesis(cfg, inputs, outputs,
                            bool_CmpFlow=bool_cmp, bool_MotMask=bool_mask, automask=automask)
             losses = compute_losses(
@@ -270,10 +295,10 @@ class Trainer:
         # returns the tensors for the 3x3 training grid (Trainer.py:607-654).
         def vis_step(variables, batch):
             inputs = trainer.process_inputs_device(batch)
-            outputs = model.apply(
+            outputs = _outputs_to_f32(model.apply(
                 variables, inputs, train=False,
                 bool_CmpFlow=bool_cmp, bool_MotMask=bool_mask,
-            )
+            ))
             view_synthesis(cfg, inputs, outputs,
                            bool_CmpFlow=bool_cmp, bool_MotMask=bool_mask, automask=automask)
             f = cfg.frame_ids[1]
@@ -361,11 +386,10 @@ class Trainer:
 
             data_t, comp_t = 0.0, 0.0
             t0 = time.time()
-            for batch_idx, batch in enumerate(loader):
+            for batch_idx, device_batch in enumerate(self._device_prefetch(loader)):
                 data_t += time.time() - t0
                 t0 = time.time()
 
-                device_batch = self.put_batch(self._train_keys_only(batch))
                 self.rng, k = jax.random.split(self.rng)
                 t_params, batch_stats, opt_state, losses = built["step_fn"](
                     t_params, f_params, batch_stats, opt_state, device_batch,
