@@ -138,6 +138,9 @@ class DynamoConfig:
     seed: int = 0
     # Capture jax profiler traces into <log_dir>/traces when set.
     profile: bool = False
+    # Use the fused Pallas photometric kernel in the loss (TPU only; measured
+    # at parity with the XLA path on v5e, kept selectable for later tuning).
+    pallas_photometric: bool = False
     # Set by train.py in multi-process mode; mirrors reference local_world_size.
     local_world_size: int = 1
 
@@ -255,6 +258,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--prefetch_depth", type=int, default=2)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--profile", action="store_true")
+    p.add_argument("--pallas_photometric", action="store_true")
     return p
 
 

@@ -31,64 +31,75 @@ _C1 = 0.01 ** 2
 _C2 = 0.03 ** 2
 
 
-def _reflect_pad_hw(x):
-    """Reflection-pad H and W by 1 using static slices (jnp.pad(mode='reflect')
-    equivalent that lowers cleanly in Mosaic)."""
-    x = jnp.concatenate([x[1:2], x, x[-2:-1]], axis=0)
-    x = jnp.concatenate([x[:, 1:2], x, x[:, -2:-1]], axis=1)
-    return x
+def _mean3x3_roll(x, H, W, interpret):
+    """Separable 3x3 reflect-padded window mean of an (H, W) plane, expressed
+    as circular rolls with border fix-ups — every intermediate stays (H, W),
+    which Mosaic tiles cleanly (the pad-via-concat formulation produced
+    odd-shaped (H+2, W+2) tiles and crashed the Mosaic compiler when several
+    were chained)."""
+    if interpret:  # pltpu.roll is TPU-only; interpret mode uses jnp.roll
+        def roll(v, shift, axis):
+            return jnp.roll(v, shift, axis)
+    else:
+        roll = pltpu.roll
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+
+    up = roll(x, H - 1, 0)  # up[i] = x[i+1]; wraps at i=H-1 -> reflect x[H-2]
+    up = jnp.where(rows == H - 1, jnp.broadcast_to(x[H - 2 : H - 1, :], (H, W)), up)
+    dn = roll(x, 1, 0)      # dn[i] = x[i-1]; wraps at i=0 -> reflect x[1]
+    dn = jnp.where(rows == 0, jnp.broadcast_to(x[1:2, :], (H, W)), dn)
+    v = x + up + dn
+
+    lf = roll(v, W - 1, 1)
+    lf = jnp.where(cols == W - 1, jnp.broadcast_to(v[:, W - 2 : W - 1], (H, W)), lf)
+    rt = roll(v, 1, 1)
+    rt = jnp.where(cols == 0, jnp.broadcast_to(v[:, 1:2], (H, W)), rt)
+    return (v + lf + rt) / 9.0
 
 
-def _mean3x3(p, H, W):
-    """3x3 window mean of a (H+2, W+2, C) padded tile -> (H, W, C)."""
-    acc = p[0:H, 0:W]
-    for di in range(3):
-        for dj in range(3):
-            if di == 0 and dj == 0:
-                continue
-            acc = acc + p[di : di + H, dj : dj + W]
-    return acc / 9.0
-
-
-def _kernel(pred_ref, target_ref, out_ref, *, ssim_weight):
-    x = pred_ref[0]
+def _kernel(pred_ref, target_ref, out_ref, *, interpret):
+    """Per-(batch, channel) plane: clipped SSIM distance map. The channel
+    mean and the L1 blend happen outside (cheap elementwise, XLA-fused)."""
+    x = pred_ref[0]  # (H, W)
     y = target_ref[0]
-    H, W, C = x.shape
+    H, W = x.shape
 
-    xp = _reflect_pad_hw(x)
-    yp = _reflect_pad_hw(y)
+    def m3(v):
+        return _mean3x3_roll(v, H, W, interpret)
 
-    mu_x = _mean3x3(xp, H, W)
-    mu_y = _mean3x3(yp, H, W)
-    sigma_x = _mean3x3(xp * xp, H, W) - mu_x * mu_x
-    sigma_y = _mean3x3(yp * yp, H, W) - mu_y * mu_y
-    sigma_xy = _mean3x3(xp * yp, H, W) - mu_x * mu_y
+    mu_x = m3(x)
+    mu_y = m3(y)
+    sigma_x = m3(x * x) - mu_x * mu_x
+    sigma_y = m3(y * y) - mu_y * mu_y
+    sigma_xy = m3(x * y) - mu_x * mu_y
 
     num = (2 * mu_x * mu_y + _C1) * (2 * sigma_xy + _C2)
     den = (mu_x * mu_x + mu_y * mu_y + _C1) * (sigma_x + sigma_y + _C2)
-    ssim = jnp.clip((1.0 - num / den) / 2.0, 0.0, 1.0)
-
-    l1 = jnp.abs(y - x)
-    err = ssim_weight * jnp.mean(ssim, axis=-1, keepdims=True) + (
-        1.0 - ssim_weight
-    ) * jnp.mean(l1, axis=-1, keepdims=True)
-    out_ref[0] = err
+    out_ref[0] = jnp.clip((1.0 - num / den) / 2.0, 0.0, 1.0)
 
 
 def _pallas_forward(pred, target, ssim_weight):
     B, H, W, C = pred.shape
     interpret = jax.default_backend() != "tpu"  # Mosaic is TPU-only
-    return pl.pallas_call(
-        functools.partial(_kernel, ssim_weight=ssim_weight),
+    # one grid step per (batch, channel) plane; W rides the 128-lane minor dim
+    pred_cf = jnp.transpose(pred, (0, 3, 1, 2)).reshape(B * C, H, W)
+    target_cf = jnp.transpose(target, (0, 3, 1, 2)).reshape(B * C, H, W)
+    ssim = pl.pallas_call(
+        functools.partial(_kernel, interpret=interpret),
         interpret=interpret,
-        out_shape=jax.ShapeDtypeStruct((B, H, W, 1), pred.dtype),
-        grid=(B,),
+        out_shape=jax.ShapeDtypeStruct((B * C, H, W), pred.dtype),
+        grid=(B * C,),
         in_specs=[
-            pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, W), lambda p: (p, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, W), lambda p: (p, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, H, W, 1), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-    )(pred, target)
+        out_specs=pl.BlockSpec((1, H, W), lambda p: (p, 0, 0), memory_space=pltpu.VMEM),
+    )(pred_cf, target_cf)
+    ssim_mean = jnp.mean(ssim.reshape(B, C, H, W), axis=1)[..., None]
+    l1 = jnp.mean(jnp.abs(target - pred), axis=-1, keepdims=True)
+    return ssim_weight * ssim_mean + (1.0 - ssim_weight) * l1
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

@@ -27,10 +27,19 @@ from dynamo_depth_tpu.ops.geometry import (
     pixel_grid,
 )
 from dynamo_depth_tpu.ops.ground_plane import ground_plane_fit
-from dynamo_depth_tpu.ops.photometric import reprojection_loss, smooth_loss
+from dynamo_depth_tpu.ops.photometric import reprojection_loss as _reprojection_loss_xla, smooth_loss
 from dynamo_depth_tpu.ops.warp import grid_sample, resize_bilinear
 
 LOSS_TERMS = ("p_photo", "d_smooth", "d_ground", "c_smooth", "c_consistency", "m_sparsity", "m_smooth")
+
+
+def _reprojection_loss(cfg, pred, target):
+    """Photometric error, optionally via the fused Pallas kernel."""
+    if getattr(cfg, "pallas_photometric", False):
+        from dynamo_depth_tpu.ops.pallas import reprojection_loss_fused
+
+        return reprojection_loss_fused(pred, target, cfg.ssim_weight)
+    return _reprojection_loss_xla(pred, target, ssim_weight=cfg.ssim_weight)
 
 
 def loss_coefficients(cfg, step_in_phase, steps_per_epoch) -> Dict[str, jnp.ndarray]:
@@ -197,19 +206,13 @@ def compute_losses(
 
         # --- photometric with min over sources (+ identity automask) -------
         reproj = jnp.concatenate(
-            [
-                reprojection_loss(outputs[("color", f, scale)], target, ssim_weight=cfg.ssim_weight)
-                for f in sources
-            ],
+            [_reprojection_loss(cfg, outputs[("color", f, scale)], target) for f in sources],
             axis=-1,
         )  # (B, H, W, F)
 
         if automask:
             identity = jnp.concatenate(
-                [
-                    reprojection_loss(inputs[("color", f, 0)], target, ssim_weight=cfg.ssim_weight)
-                    for f in sources
-                ],
+                [_reprojection_loss(cfg, inputs[("color", f, 0)], target) for f in sources],
                 axis=-1,
             )
             noise = jax.random.normal(jax.random.fold_in(rng_noise, scale), identity.shape) * 1e-5

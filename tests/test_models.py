@@ -183,3 +183,75 @@ def test_motion_decoder_shapes(rng):
     out = mask.apply(v, pyramid, ego)
     m = np.asarray(out[("motion_mask", 0)])
     assert m.shape == (1, H, W, 1) and (m >= 0).all() and (m <= 1).all()
+
+
+def test_xca_matches_torch_golden(rng):
+    """XCA: qkv reshape ordering, per-token L2 normalization, temperature
+    scaling (standard XCiT formulation, depth_encoder.py:47-87)."""
+    from dynamo_depth_tpu.models.litemono import XCA
+
+    B, N, C, heads = 2, 12, 16, 4
+    x = rng.rand(B, N, C).astype(np.float32)
+    qkv_w = rng.randn(3 * C, C).astype(np.float32) * 0.1
+    qkv_b = rng.randn(3 * C).astype(np.float32) * 0.1
+    proj_w = rng.randn(C, C).astype(np.float32) * 0.1
+    proj_b = rng.randn(C).astype(np.float32) * 0.1
+    temp = rng.rand(heads, 1, 1).astype(np.float32) + 0.5
+
+    params = {
+        "qkv": {"kernel": qkv_w.T, "bias": qkv_b},
+        "proj": {"kernel": proj_w.T, "bias": proj_b},
+        "temperature": temp,
+    }
+    ours = XCA(dim=C, num_heads=heads).apply({"params": params}, jnp.asarray(x))
+
+    with torch.no_grad():
+        t = torch.tensor(x)
+        qkv = torch.nn.functional.linear(t, torch.tensor(qkv_w), torch.tensor(qkv_b))
+        qkv = qkv.reshape(B, N, 3, heads, C // heads).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        q, k, v = q.transpose(-2, -1), k.transpose(-2, -1), v.transpose(-2, -1)
+        q = torch.nn.functional.normalize(q, dim=-1)
+        k = torch.nn.functional.normalize(k, dim=-1)
+        attn = (q @ k.transpose(-2, -1)) * torch.tensor(temp)
+        attn = attn.softmax(dim=-1)
+        out = (attn @ v).permute(0, 3, 1, 2).reshape(B, N, C)
+        gold = torch.nn.functional.linear(out, torch.tensor(proj_w), torch.tensor(proj_b))
+
+    np.testing.assert_allclose(np.asarray(ours), gold.numpy(), atol=1e-5)
+
+
+def test_positional_encoding_fourier_matches_torch_golden(rng):
+    """Fourier pos-encoding: cumsum-normalized embeds, interleaved sin/cos
+    (depth_encoder.py:9-44)."""
+    import math
+
+    from dynamo_depth_tpu.models.litemono import PositionalEncodingFourier
+
+    dim, hd, H, W = 24, 32, 5, 7
+    proj_w = rng.randn(dim, 2 * hd, 1, 1).astype(np.float32) * 0.1
+    proj_b = rng.randn(dim).astype(np.float32) * 0.1
+
+    params = {"token_projection": {"kernel": np.transpose(proj_w, (2, 3, 1, 0)),
+                                   "bias": proj_b}}
+    ours = PositionalEncodingFourier(dim=dim, hidden_dim=hd).apply({"params": params}, 1, H, W)
+
+    with torch.no_grad():
+        not_mask = torch.ones(1, H, W)
+        y_embed = not_mask.cumsum(1)
+        x_embed = not_mask.cumsum(2)
+        eps, scale, temperature = 1e-6, 2 * math.pi, 10000
+        y_embed = y_embed / (y_embed[:, -1:, :] + eps) * scale
+        x_embed = x_embed / (x_embed[:, :, -1:] + eps) * scale
+        dim_t = torch.arange(hd, dtype=torch.float32)
+        dim_t = temperature ** (2 * torch.div(dim_t, 2, rounding_mode="trunc") / hd)
+        pos_x = x_embed[:, :, :, None] / dim_t
+        pos_y = y_embed[:, :, :, None] / dim_t
+        pos_x = torch.stack((pos_x[..., 0::2].sin(), pos_x[..., 1::2].cos()), dim=4).flatten(3)
+        pos_y = torch.stack((pos_y[..., 0::2].sin(), pos_y[..., 1::2].cos()), dim=4).flatten(3)
+        pos = torch.cat((pos_y, pos_x), dim=3).permute(0, 3, 1, 2)
+        gold = torch.nn.functional.conv2d(pos, torch.tensor(proj_w), torch.tensor(proj_b))
+
+    np.testing.assert_allclose(
+        np.asarray(ours), np.moveaxis(gold.numpy(), 1, -1), atol=1e-4
+    )
