@@ -37,7 +37,7 @@ def main():
     from __graft_entry__ import _synthetic_batch
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--compute_dtype", default="float32", choices=["float32", "bfloat16"])
+    ap.add_argument("--compute_dtype", default="bfloat16", choices=["float32", "bfloat16"])
     ap.add_argument("--batch_size", type=int, default=3)
     ap.add_argument("--depth_model", default="litemono")
     args = ap.parse_args()
@@ -79,7 +79,7 @@ def main():
 
     examples_per_sec = trainer.global_B * n_steps / dt
     print(json.dumps({
-        "metric": "kitti_litemono_fine_tune_train_throughput",
+        "metric": f"kitti_litemono_fine_tune_train_throughput_{args.compute_dtype}",
         "value": round(examples_per_sec, 2),
         "unit": "examples/s",
         "vs_baseline": round(examples_per_sec / REFERENCE_NODE_EXAMPLES_PER_SEC, 3),

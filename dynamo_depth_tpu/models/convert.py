@@ -265,3 +265,94 @@ def convert_torch_checkpoint(folder: str, variables: Dict, cfg, verbose=True) ->
     if not new_vars["batch_stats"]:
         new_vars.pop("batch_stats")
     return new_vars
+
+
+# --------------------------------------------------------------------------
+# pretrained backbone initialization (weights_init='pretrained')
+
+# Released checkpoint zoo (model.py:49-56): folder name -> google drive id.
+MODEL_ZOO = {
+    "ckpt/K_Dynamo-Depth_MD2": "1SLQcCQplfAtqeWUD4TQc42aGpevViTGX",
+    "ckpt/K_Dynamo-Depth": "1b1kwxqUquFbSMU9WLAr6_pIbj1HxoWLJ",
+    "ckpt/N_Dynamo-Depth_MD2": "1t0Z_2hD0raAi4vDK_VZFXIcwcTFx0elU",
+    "ckpt/N_Dynamo-Depth": "1oqQVFyGxo_SxclpinrBlwGSE1gEfVAZY",
+    "ckpt/W_Dynamo-Depth_MD2": None,  # Waymo license: request access (README)
+    "ckpt/W_Dynamo-Depth": None,
+}
+
+# Imagenet backbone checkpoints the reference auto-downloads
+# (resnet_encoder.py:46-49, depth_encoder.py:313).
+BACKBONE_FILES = {
+    "resnet18": "resnet18-f37072fd.pth",
+    "resnet50": "resnet50-0676ba61.pth",
+    "litemono": "lite-mono-8m-pretrain.pth",
+}
+
+
+def load_pretrained_backbones(variables, cfg, ckpt_dir="./ckpt", verbose=True,
+                              seed=0):
+    """Initialize encoders from downloaded imagenet checkpoints, replicating
+    the reference's pretrained init:
+
+    - depth encoder: torchvision resnet (monodepthv2) or Lite-Mono-8M imagenet
+      weights with the final-norm keys dropped (depth_encoder.py:380-392);
+    - pose (2-frame) and motion (3-frame) encoders: torchvision resnet with
+      conv1 replicated across frames and scaled by 1/num_images
+      (resnet_encoder.py:85-92).
+
+    Missing files are skipped with a warning (zero-egress environments train
+    from scratch); place the files listed in BACKBONE_FILES under ckpt_dir.
+    """
+    import torch
+
+    new_vars = {
+        "params": dict(variables.get("params", {})),
+        "batch_stats": dict(variables.get("batch_stats", {})),
+    }
+    rng = np.random.RandomState(seed)
+    resnet_file = osp.join(ckpt_dir, BACKBONE_FILES[f"resnet{cfg.encoder_num_layers}"]) \
+        if cfg.encoder_num_layers in (18, 50) else None
+
+    resnet_sd = None
+    if resnet_file and osp.exists(resnet_file):
+        raw = torch.load(resnet_file, map_location="cpu", weights_only=False)
+        resnet_sd = {f"encoder.{k}": v.numpy() for k, v in raw.items()
+                     if not k.startswith("fc.")}
+    elif verbose:
+        print(f"|- pretrained resnet weights not found under {ckpt_dir} - "
+              "encoders keep random init")
+
+    def resnet_into(module_name, num_images):
+        if resnet_sd is None:
+            return
+        params, stats = convert_resnet_encoder(resnet_sd, cfg.encoder_num_layers)
+        if num_images > 1:
+            params["conv1"]["kernel"] = widen_conv1(
+                params["conv1"]["kernel"], num_images, rng
+            )
+        new_vars["params"][module_name] = params
+        new_vars["batch_stats"][module_name] = stats
+        if verbose:
+            print(f"|- pretrained {module_name} ({num_images} frame(s)) loaded")
+
+    resnet_into("pose_enc", 2)
+    resnet_into("motion_enc", 3)
+
+    if cfg.depth_model == "monodepthv2":
+        resnet_into("depth_enc", 1)
+    else:
+        lm_file = osp.join(ckpt_dir, BACKBONE_FILES["litemono"])
+        if osp.exists(lm_file):
+            raw = torch.load(lm_file, map_location="cpu", weights_only=False)["model"]
+            # the reference drops the classifier-head 'norm.*' keys
+            # (depth_encoder.py:390); convert_litemono only reads known keys.
+            sd = {k: v.numpy() for k, v in raw.items() if not k.startswith("norm")}
+            params, stats = convert_litemono(sd)
+            new_vars["params"]["depth_enc"] = params
+            new_vars["batch_stats"]["depth_enc"] = stats
+            if verbose:
+                print("|- pretrained lite-mono-8m depth encoder loaded")
+        elif verbose:
+            print(f"|- {lm_file} not found - litemono depth encoder keeps random init")
+
+    return new_vars

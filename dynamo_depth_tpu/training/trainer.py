@@ -123,6 +123,17 @@ class Trainer:
         self.variables = self._init_variables()
         if cfg.load_ckpt:
             self.load_model()
+        elif cfg.weights_init == "pretrained":
+            # imagenet backbone init (resnet_encoder.py:46-49, model.py:25);
+            # silently keeps random init when the zoo files are absent.
+            try:
+                from dynamo_depth_tpu.models.convert import load_pretrained_backbones
+
+                self.variables = load_pretrained_backbones(
+                    self.variables, cfg, verbose=is_main_process(), seed=cfg.seed,
+                )
+            except ImportError:
+                self.print("|- torch unavailable - encoders keep random init")
         self.variables = jax.device_put(self.variables, replicated_sharding(self.mesh))
 
         self.dataset_cls = DATASETS[cfg.dataset]
@@ -513,6 +524,8 @@ class Trainer:
     def load_model(self):
         path = osp.expanduser(self.cfg.load_ckpt)
         if not osp.isdir(path):
+            path = self._try_fetch_zoo_ckpt(path)
+        if not osp.isdir(path):
             raise FileNotFoundError(f"Cannot find checkpoint folder {path}")
         import glob
 
@@ -528,6 +541,39 @@ class Trainer:
                 self.variables, path, height=self.H, width=self.W,
                 verbose=is_main_process(),
             )
+
+    def _try_fetch_zoo_ckpt(self, path: str) -> str:
+        """Released-checkpoint auto-download (model.py:210-222): when the
+        load path names a zoo entry, fetch it via gdown if the environment
+        allows; otherwise fail with actionable instructions."""
+        from dynamo_depth_tpu.models.convert import MODEL_ZOO
+
+        if path not in MODEL_ZOO:
+            return path
+        gdrive_id = MODEL_ZOO[path]
+        if gdrive_id is None:
+            raise FileNotFoundError(
+                f"{path} is Waymo-licensed; request access per the reference README "
+                "and place the unzipped folder at that path."
+            )
+        self.print(f"Missing model checkpoint {path}, attempting download.")
+        import os
+        import subprocess
+
+        name = path.split("/")[1]
+        os.makedirs("./ckpt/", exist_ok=True)
+        try:
+            subprocess.run(["gdown", gdrive_id], check=True, timeout=600)
+            subprocess.run(["unzip", "-o", f"{name}.zip"], check=True, timeout=300)
+            os.replace(name, f"ckpt/{name}")
+            os.remove(f"{name}.zip")
+        except Exception as e:
+            raise FileNotFoundError(
+                f"Could not auto-download {path} ({e}). Download the reference "
+                f"checkpoint (gdrive id {gdrive_id}), unzip to {path}, and re-run; "
+                "the torch .pth files are converted automatically."
+            )
+        return path
 
     def save_opt(self):
         if not is_main_process():

@@ -106,3 +106,160 @@ def test_torch_converter_produces_matching_structure(tmp_path):
 
     np.testing.assert_allclose(np.asarray(aa), gaa, atol=1e-5)
     np.testing.assert_allclose(np.asarray(tr), gtr, atol=1e-5)
+
+
+def _litemono_torch_sd(rng):
+    """Synthetic state dict with the reference LiteMono key names
+    (depth_encoder.py:305-392) and lite-mono-8m shapes."""
+    sd = {}
+
+    def conv(name, o, i, k):
+        sd[name + ".weight"] = rng.randn(o, i, k, k).astype(np.float32) * 0.05
+
+    def bn(name, c):
+        sd[name + ".weight"] = rng.rand(c).astype(np.float32) + 0.5
+        sd[name + ".bias"] = rng.randn(c).astype(np.float32) * 0.1
+        sd[name + ".running_mean"] = rng.randn(c).astype(np.float32) * 0.1
+        sd[name + ".running_var"] = rng.rand(c).astype(np.float32) + 0.5
+
+    def dense(name, o, i):
+        sd[name + ".weight"] = rng.randn(o, i).astype(np.float32) * 0.05
+        sd[name + ".bias"] = rng.randn(o).astype(np.float32) * 0.05
+
+    def ln(name, c):
+        sd[name + ".weight"] = rng.rand(c).astype(np.float32) + 0.5
+        sd[name + ".bias"] = rng.randn(c).astype(np.float32) * 0.1
+
+    dims, depths, heads = [64, 128, 224], [4, 4, 10], [8, 8, 8]
+    conv("downsample_layers.0.0.conv", 64, 3, 3)
+    bn("downsample_layers.0.0.bn_gelu.bn", 64)
+    conv("downsample_layers.0.1.conv", 64, 64, 3)
+    bn("downsample_layers.0.1.bn_gelu.bn", 64)
+    conv("downsample_layers.0.2.conv", 64, 64, 3)
+    bn("downsample_layers.0.2.bn_gelu.bn", 64)
+    conv("stem2.0.conv", 64, 67, 3)
+    conv("downsample_layers.1.0.conv", 128, 131, 3)
+    conv("downsample_layers.2.0.conv", 224, 259, 3)
+
+    for i in range(3):
+        d = dims[i]
+        for j in range(depths[i]):
+            tp = f"stages.{i}.{j}"
+            if j == depths[i] - 1:  # LGFI
+                if i == 0:
+                    conv(f"{tp}.pos_embd.token_projection", d, 64, 1)
+                    sd[f"{tp}.pos_embd.token_projection.bias"] = rng.randn(d).astype(np.float32) * 0.1
+                ln(f"{tp}.norm_xca", d)
+                sd[f"{tp}.gamma_xca"] = rng.rand(d).astype(np.float32) * 1e-3
+                sd[f"{tp}.xca.temperature"] = rng.rand(heads[i], 1, 1).astype(np.float32) + 0.5
+                dense(f"{tp}.xca.qkv", 3 * d, d)
+                dense(f"{tp}.xca.proj", d, d)
+                ln(f"{tp}.norm", d)
+                dense(f"{tp}.pwconv1", 6 * d, d)
+                dense(f"{tp}.pwconv2", d, 6 * d)
+                sd[f"{tp}.gamma"] = rng.rand(d).astype(np.float32) * 1e-3
+            else:
+                sd[f"{tp}.ddwconv.conv.weight"] = rng.randn(d, 1, 3, 3).astype(np.float32) * 0.05
+                bn(f"{tp}.bn1", d)
+                ln(f"{tp}.norm", d)  # unused in forward, present in ckpt
+                dense(f"{tp}.pwconv1", 6 * d, d)
+                dense(f"{tp}.pwconv2", d, 6 * d)
+                sd[f"{tp}.gamma"] = rng.rand(d).astype(np.float32) * 1e-3
+    return sd
+
+
+def test_litemono_converter_covers_all_params(rng):
+    """convert_litemono output must drop into the flax LiteMono unchanged:
+    every converted leaf replaces an init leaf of identical shape, and the
+    model runs with the converted weights."""
+    import jax
+    from dynamo_depth_tpu.models import LiteMono
+    from dynamo_depth_tpu.models.convert import convert_litemono
+    from flax import traverse_util
+
+    params, stats = convert_litemono(_litemono_torch_sd(rng))
+
+    enc = LiteMono()
+    x = jnp.zeros((1, 64, 96, 3), jnp.float32)
+    init = enc.init({"params": jax.random.PRNGKey(0), "droppath": jax.random.PRNGKey(1)}, x)
+
+    init_flat = traverse_util.flatten_dict(dict(init["params"]))
+    conv_flat = traverse_util.flatten_dict(params)
+    assert set(conv_flat) == set(init_flat), (
+        sorted(set(init_flat) - set(conv_flat))[:5],
+        sorted(set(conv_flat) - set(init_flat))[:5],
+    )
+    for k in conv_flat:
+        assert np.shape(conv_flat[k]) == np.shape(init_flat[k]), k
+
+    init_stats = traverse_util.flatten_dict(dict(init["batch_stats"]))
+    conv_stats = traverse_util.flatten_dict(stats)
+    assert set(conv_stats) == set(init_stats)
+
+    out = enc.apply({"params": params, "batch_stats": stats}, x, train=False)
+    assert all(np.isfinite(np.asarray(f)).all() for f in out)
+
+
+def test_motion_and_lite_decoder_converters_cover_all_params(rng):
+    import jax
+    from dynamo_depth_tpu.models import LiteDepthDecoder, MotionDecoder
+    from dynamo_depth_tpu.models.convert import (
+        convert_lite_depth_decoder,
+        convert_motion_decoder,
+    )
+    from flax import traverse_util
+
+    # --- motion decoder: reference names refine_motion_conv{ii}.{0,1} etc.
+    sd = {}
+    num_inp = [512, 256, 128, 64, 64, 9]
+    out_dim = 3
+    sd["_residual_translation.weight"] = rng.randn(out_dim, 6, 1, 1).astype(np.float32)
+    sd["_residual_translation.bias"] = rng.randn(out_dim).astype(np.float32)
+    for ii, c in enumerate(num_inp):
+        sd[f"refine_motion_conv{ii}.0.weight"] = rng.randn(c, c + out_dim, 3, 3).astype(np.float32) * 0.03
+        sd[f"refine_motion_conv{ii}.0.bias"] = rng.randn(c).astype(np.float32) * 0.03
+        sd[f"refine_motion_conv{ii}.1.weight"] = rng.randn(c, c, 3, 3).astype(np.float32) * 0.03
+        sd[f"refine_motion_conv{ii}.1.bias"] = rng.randn(c).astype(np.float32) * 0.03
+        sd[f"refine_motion_redu{ii}.weight"] = rng.randn(out_dim, 2 * c, 1, 1).astype(np.float32) * 0.03
+        sd[f"refine_motion_redu{ii}.bias"] = rng.randn(out_dim).astype(np.float32) * 0.03
+    params, _ = convert_motion_decoder(sd)
+
+    dec = MotionDecoder(num_ch_enc=(64, 64, 128, 256, 512), scales=(0, 1, 2), out_dim=3)
+    H, W = 32, 48
+    pyramid = [jnp.zeros((1, H, W, 9))] + [
+        jnp.zeros((1, H // 2 ** (i + 1), W // 2 ** (i + 1), c))
+        for i, c in enumerate([64, 64, 128, 256, 512])
+    ]
+    init = dec.init(jax.random.PRNGKey(0), pyramid, jnp.zeros((1, 6)))
+    assert set(traverse_util.flatten_dict(dict(init["params"]))) == set(
+        traverse_util.flatten_dict(params)
+    )
+    out = dec.apply({"params": params}, pyramid, jnp.zeros((1, 6)))
+    assert np.isfinite(np.asarray(out[("complete_flow", 0)])).all()
+
+    # --- lite depth decoder: ordered ModuleList names decoder.N...
+    enc_ch = (64, 128, 224)
+    dec_ch = [c // 2 for c in enc_ch]
+    sd = {}
+    idx = 0
+    for i in range(2, -1, -1):
+        cin = enc_ch[-1] if i == 2 else dec_ch[i + 1]
+        sd[f"decoder.{idx}.conv.conv.weight"] = rng.randn(dec_ch[i], cin, 3, 3).astype(np.float32) * 0.03
+        sd[f"decoder.{idx}.conv.conv.bias"] = rng.randn(dec_ch[i]).astype(np.float32) * 0.03
+        idx += 1
+        cin2 = dec_ch[i] + (enc_ch[i - 1] if i > 0 else 0)
+        sd[f"decoder.{idx}.conv.conv.weight"] = rng.randn(dec_ch[i], cin2, 3, 3).astype(np.float32) * 0.03
+        sd[f"decoder.{idx}.conv.conv.bias"] = rng.randn(dec_ch[i]).astype(np.float32) * 0.03
+        idx += 1
+    for s in (0, 1, 2):
+        sd[f"decoder.{idx}.conv.weight"] = rng.randn(1, dec_ch[s], 3, 3).astype(np.float32) * 0.03
+        sd[f"decoder.{idx}.conv.bias"] = rng.randn(1).astype(np.float32) * 0.03
+        idx += 1
+    params, _ = convert_lite_depth_decoder(sd, (0, 1, 2))
+
+    ldec = LiteDepthDecoder(num_ch_enc=enc_ch, scales=(0, 1, 2))
+    feats = [jnp.zeros((1, 16 // 2 ** i, 24 // 2 ** i, c)) for i, c in enumerate(enc_ch)]
+    init = ldec.init(jax.random.PRNGKey(0), feats)
+    assert set(traverse_util.flatten_dict(dict(init["params"]))) == set(
+        traverse_util.flatten_dict(params)
+    )
