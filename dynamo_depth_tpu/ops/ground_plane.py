@@ -11,7 +11,13 @@ TPU-first differences from the reference:
 - all hypotheses are solved as one batched 3x3 system, scoring is one
   ``(B*max_it, N) x 3`` contraction — no per-batch python loop;
 - outputs are ``stop_gradient``-ed, as the reference detaches them
-  (tools.py:101).
+  (tools.py:101);
+- **deliberate fix**: each hypothesis is scored against its own batch
+  element's candidate points. The reference pairs a batch-major hypothesis
+  list with a batch-*tiled* point list (``ws.reshape(-1,3,1)`` vs
+  ``points.repeat(max_it,1,1)``, tools.py:130-133), so hypothesis (b, m) is
+  scored against batch element (b*max_it + m) % B — mixing images within a
+  batch during inlier counting.
 """
 
 from __future__ import annotations
