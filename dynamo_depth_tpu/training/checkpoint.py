@@ -35,23 +35,37 @@ def _module_tree(variables: Dict, module: str) -> Dict:
     return out
 
 
+def _atomic_write(path: str, data: bytes) -> None:
+    """Write via tmp + rename so a crash mid-save never corrupts an existing
+    checkpoint (the reference has no such protection)."""
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
 def save_model(variables: Dict, folder: str, *, height: int, width: int, verbose=False) -> None:
-    """Write one <module>.msgpack per sub-module + meta.json."""
+    """Write one <module>.msgpack per sub-module + meta.json (atomically)."""
     join_dir(folder)
     np_vars = jax.tree.map(np.asarray, variables)
     for module in MODULE_NAMES:
         tree = _module_tree(np_vars, module)
-        with open(osp.join(folder, f"{module}.msgpack"), "wb") as f:
-            f.write(serialization.to_bytes(tree))
-    with open(osp.join(folder, "meta.json"), "w") as f:
-        json.dump({"height": height, "width": width, "modules": MODULE_NAMES}, f)
+        _atomic_write(osp.join(folder, f"{module}.msgpack"), serialization.to_bytes(tree))
+    _atomic_write(
+        osp.join(folder, "meta.json"),
+        json.dumps({"height": height, "width": width, "modules": MODULE_NAMES}).encode(),
+    )
     if verbose:
         print(f"Saved model to {folder}")
 
 
 def save_opt_state(opt_state: Any, folder: str) -> None:
-    with open(osp.join(folder, "adam.msgpack"), "wb") as f:
-        f.write(serialization.to_bytes(jax.tree.map(np.asarray, opt_state)))
+    _atomic_write(
+        osp.join(folder, "adam.msgpack"),
+        serialization.to_bytes(jax.tree.map(np.asarray, opt_state)),
+    )
 
 
 def load_opt_state(template: Any, folder: str) -> Optional[Any]:
