@@ -16,4 +16,17 @@ Capability reference: https://github.com/YihongSun/Dynamo-Depth
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent compilation cache: first compiles of the curriculum phases are
+# expensive; every entry point benefits.
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+if _os.environ.get("DYNAMO_FORCE_PLATFORM"):
+    # Escape hatch for CPU-mesh testing: the axon TPU plugin prepends itself
+    # to jax_platforms, so the JAX_PLATFORMS env var alone is unreliable.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["DYNAMO_FORCE_PLATFORM"])
+
 from dynamo_depth_tpu.config import DynamoConfig  # noqa: F401

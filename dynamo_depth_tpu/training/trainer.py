@@ -392,7 +392,12 @@ class Trainer:
         for epoch in range(num_epoch):
             self.epoch = epoch
             self.print()
-            loader = self._make_train_loader(epoch_seed=cfg.seed + 1000 * epoch + hash(phase) % 1000)
+            # NOTE: python hash() is process-salted — never use it here, every
+            # host must draw the same epoch sample (SURVEY §2.5).
+            phase_idx = PHASES.index(phase)
+            loader = self._make_train_loader(
+                epoch_seed=cfg.seed + 1000 * epoch + 101 * phase_idx
+            )
             loader.set_epoch(epoch)
 
             data_t, comp_t = 0.0, 0.0

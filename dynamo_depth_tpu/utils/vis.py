@@ -94,9 +94,22 @@ def make_mp4(images, filename, fps=30, quality=8, macro_block_size=1, bgr=True):
     frames = np.stack(images, axis=0)
     if bgr:
         frames = frames[..., ::-1]
-    imageio.mimwrite(
-        filename, frames, fps=fps, quality=quality, macro_block_size=macro_block_size
-    )
+    try:
+        imageio.mimwrite(
+            filename, frames, fps=fps, quality=quality, macro_block_size=macro_block_size
+        )
+    except Exception as e:
+        # No ffmpeg/pyav backend available: fall back to per-frame PNGs so the
+        # visualization is still produced.
+        import os.path as osp
+        from PIL import Image
+
+        from dynamo_depth_tpu.utils.io import join_dir
+
+        frame_dir = join_dir(osp.splitext(filename)[0] + "_frames")
+        for i, fr in enumerate(frames):
+            Image.fromarray(fr).save(osp.join(frame_dir, f"{i:06}.png"))
+        print(f"mp4 encode unavailable ({e}); wrote {len(frames)} PNG frames to {frame_dir}")
 
 
 def vis_motion(depth, K, inv_K, motion_map=None, camTcam=None):
