@@ -101,7 +101,6 @@ def make_mp4(images, filename, fps=30, quality=8, macro_block_size=1, bgr=True):
     except Exception as e:
         # No ffmpeg/pyav backend available: fall back to per-frame PNGs so the
         # visualization is still produced.
-        import os.path as osp
         from PIL import Image
 
         from dynamo_depth_tpu.utils.io import join_dir
