@@ -25,10 +25,9 @@ TPU-native re-design:
 
 from __future__ import annotations
 
-import functools
 import os.path as osp
 import time
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -17,8 +17,6 @@ import numpy as np
 
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
-import jax.numpy as jnp
-
 from dynamo_depth_tpu.config import parse_config
 from dynamo_depth_tpu.data.loader import collate
 from dynamo_depth_tpu.data.splits import read_split

@@ -10,8 +10,6 @@ Runs checkpoint inference on the tiny nuScenes assets and writes the
 import os.path as osp
 import sys
 
-import numpy as np
-
 sys.path.insert(0, osp.dirname(osp.abspath(__file__)))
 
 from dynamo_depth_tpu.config import parse_config
