@@ -137,7 +137,7 @@ inline double cubic_kernel(double x) {
 struct FilterTable {
   int ksize;                 // taps per output pixel
   std::vector<int> bounds;   // (start, size) pairs
-  std::vector<double> coef;  // ksize per output pixel, normalized
+  std::vector<float> coef;   // ksize per output pixel, normalized
 };
 
 // Precompute contributions for one axis (PIL "support scaled by ratio"
@@ -159,15 +159,14 @@ FilterTable build_filter(int in_size, int out_size) {
     if (xmax > in_size) xmax = in_size;
     xmax -= xmin;
 
-    double* k = &ft.coef[size_t(xx) * ft.ksize];
+    float* k = &ft.coef[size_t(xx) * ft.ksize];
     double ww = 0.0;
+    std::vector<double> tmp(xmax);
     for (int x = 0; x < xmax; ++x) {
-      double w = cubic_kernel((x + xmin - center + 0.5) / filterscale);
-      k[x] = w;
-      ww += w;
+      tmp[x] = cubic_kernel((x + xmin - center + 0.5) / filterscale);
+      ww += tmp[x];
     }
-    if (ww != 0.0)
-      for (int x = 0; x < xmax; ++x) k[x] /= ww;
+    for (int x = 0; x < xmax; ++x) k[x] = float(ww != 0.0 ? tmp[x] / ww : tmp[x]);
     ft.bounds[xx * 2] = xmin;
     ft.bounds[xx * 2 + 1] = xmax;
   }
@@ -175,50 +174,65 @@ FilterTable build_filter(int in_size, int out_size) {
 }
 
 // Separable resize HWC uint8 -> float32 [0, 1], optional horizontal flip of
-// the *source* (flip-then-resize, matching the python pipeline's PIL order).
+// the *source* (flip-then-resize, matching the python pipeline's PIL order;
+// the flip is folded into the horizontal filter table so the inner loops
+// stay branch-free and vectorizable).
 void resize_to_float(const Image& img, int out_h, int out_w, bool flip, float* out) {
   const int in_h = img.h, in_w = img.w;
 
+  FilterTable fw = build_filter(in_w, out_w);
+  if (flip) {
+    // mirror each tap window: source column (xmin + i) becomes
+    // (in_w - 1 - xmin - i); store the mirrored start and reverse coeffs.
+    for (int x = 0; x < out_w; ++x) {
+      int xmin = fw.bounds[x * 2], xmax = fw.bounds[x * 2 + 1];
+      fw.bounds[x * 2] = in_w - xmin - xmax;  // new start (window reversed)
+      float* k = &fw.coef[size_t(x) * fw.ksize];
+      for (int i = 0; i < xmax / 2; ++i) std::swap(k[i], k[xmax - 1 - i]);
+    }
+  }
+
   // horizontal pass -> (in_h, out_w, 3); PIL keeps an 8-bit intermediate
   // image between the two passes, so round+clamp here for parity.
-  FilterTable fw = build_filter(in_w, out_w);
   std::vector<uint8_t> tmp(size_t(in_h) * out_w * 3);
   for (int y = 0; y < in_h; ++y) {
     const uint8_t* srow = img.data.data() + size_t(y) * in_w * 3;
     uint8_t* drow = &tmp[size_t(y) * out_w * 3];
     for (int x = 0; x < out_w; ++x) {
-      int xmin = fw.bounds[x * 2], xmax = fw.bounds[x * 2 + 1];
-      const double* k = &fw.coef[size_t(x) * fw.ksize];
-      double acc[3] = {0, 0, 0};
+      const int xmin = fw.bounds[x * 2], xmax = fw.bounds[x * 2 + 1];
+      const float* k = &fw.coef[size_t(x) * fw.ksize];
+      const uint8_t* p = srow + size_t(xmin) * 3;
+      float a0 = 0.5f, a1 = 0.5f, a2 = 0.5f;  // +0.5 for round-to-nearest
       for (int i = 0; i < xmax; ++i) {
-        int sx = xmin + i;
-        if (flip) sx = in_w - 1 - sx;
-        const uint8_t* p = srow + size_t(sx) * 3;
-        acc[0] += k[i] * p[0];
-        acc[1] += k[i] * p[1];
-        acc[2] += k[i] * p[2];
+        a0 += k[i] * p[3 * i + 0];
+        a1 += k[i] * p[3 * i + 1];
+        a2 += k[i] * p[3 * i + 2];
       }
-      for (int ch = 0; ch < 3; ++ch) {
-        double v = std::nearbyint(acc[ch]);
-        drow[x * 3 + ch] = uint8_t(v < 0 ? 0 : (v > 255 ? 255 : v));
-      }
+      int v0 = int(a0), v1 = int(a1), v2 = int(a2);
+      drow[x * 3 + 0] = uint8_t(v0 < 0 ? 0 : (v0 > 255 ? 255 : v0));
+      drow[x * 3 + 1] = uint8_t(v1 < 0 ? 0 : (v1 > 255 ? 255 : v1));
+      drow[x * 3 + 2] = uint8_t(v2 < 0 ? 0 : (v2 > 255 ? 255 : v2));
     }
   }
 
-  // vertical pass -> (out_h, out_w, 3) float with clamp + /255
+  // vertical pass -> (out_h, out_w, 3) float with clamp + /255; row-major
+  // accumulation over contiguous rows vectorizes cleanly.
   FilterTable fh = build_filter(in_h, out_h);
+  const int row_len = out_w * 3;
+  std::vector<float> acc(row_len);
   for (int y = 0; y < out_h; ++y) {
-    int ymin = fh.bounds[y * 2], ymax = fh.bounds[y * 2 + 1];
-    const double* k = &fh.coef[size_t(y) * fh.ksize];
-    float* drow = out + size_t(y) * out_w * 3;
-    for (int x = 0; x < out_w * 3; ++x) {
-      double acc = 0;
-      for (int i = 0; i < ymax; ++i) acc += k[i] * tmp[size_t(ymin + i) * out_w * 3 + x];
-      // PIL rounds to uint8 between resize and ToTensor; replicate.
-      double v = std::nearbyint(acc);
-      if (v < 0) v = 0;
-      if (v > 255) v = 255;
-      drow[x] = float(v) / 255.0f;
+    const int ymin = fh.bounds[y * 2], ymax = fh.bounds[y * 2 + 1];
+    const float* k = &fh.coef[size_t(y) * fh.ksize];
+    std::fill(acc.begin(), acc.end(), 0.5f);
+    for (int i = 0; i < ymax; ++i) {
+      const uint8_t* row = &tmp[size_t(ymin + i) * row_len];
+      const float ki = k[i];
+      for (int x = 0; x < row_len; ++x) acc[x] += ki * row[x];
+    }
+    float* drow = out + size_t(y) * row_len;
+    for (int x = 0; x < row_len; ++x) {
+      int v = int(acc[x]);
+      drow[x] = float(v < 0 ? 0 : (v > 255 ? 255 : v)) * (1.0f / 255.0f);
     }
   }
 }
