@@ -356,3 +356,18 @@ def load_pretrained_backbones(variables, cfg, ckpt_dir="./ckpt", verbose=True,
             print(f"|- {lm_file} not found - litemono depth encoder keeps random init")
 
     return new_vars
+
+
+def widen_conv1_rgbd(conv1_kernel: np.ndarray, num_inp_channels: int,
+                     rng: np.random.RandomState) -> np.ndarray:
+    """RGBD variant of the conv1 widening (resnet_encoder.py:50-59): kaiming
+    filler, each 4-channel slice's RGB part copies the pretrained kernel, all
+    scaled by 1/(num_channels//4)."""
+    assert num_inp_channels % 4 == 0
+    kh, kw, _, out = conv1_kernel.shape
+    fan_out = kh * kw * out
+    w = rng.randn(kh, kw, num_inp_channels, out).astype(np.float32) * np.sqrt(2.0 / fan_out)
+    groups = num_inp_channels // 4
+    for l in range(groups):
+        w[:, :, 4 * l : 4 * l + 3, :] = conv1_kernel
+    return w / groups

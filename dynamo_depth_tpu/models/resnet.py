@@ -112,6 +112,9 @@ class ResnetEncoder(nn.Module):
 
     num_layers: int = 18
     num_input_images: int = 1
+    # Channels per stacked frame: 3 (RGB) or 4 (RGBD, the reference's unused
+    # resnet_custom_input variant, resnet_encoder.py:32-61).
+    channels_per_image: int = 3
     dtype: Any = jnp.float32
 
     @property
@@ -123,7 +126,7 @@ class ResnetEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Sequence[jnp.ndarray]:
-        assert x.shape[-1] == 3 * self.num_input_images
+        assert x.shape[-1] == self.channels_per_image * self.num_input_images
         block_cls = Bottleneck if _BOTTLENECK[self.num_layers] else BasicBlock
         layers = _BLOCKS[self.num_layers]
         expansion = 4 if _BOTTLENECK[self.num_layers] else 1
