@@ -179,10 +179,15 @@ class Trainer:
             filenames, self.cfg.epoch_size, self.global_B, seed=epoch_seed
         )
         ds = self.get_dataset(filenames, is_train=True)
+        # Each host loads only its local shard (B x local devices); the global
+        # batch for step t is the concatenation of hosts' strided local
+        # batches — every host sees the same number of equal batches, items
+        # are disjoint (DistributedSampler semantics, Trainer.py:527).
+        local_B = self.global_B // jax.process_count()
         return BatchLoader(
-            ds, self.global_B, shuffle=self.cfg.epoch_size <= 0, drop_last=True,
+            ds, local_B, shuffle=self.cfg.epoch_size <= 0, drop_last=True,
             num_workers=self.cfg.num_workers, seed=self.cfg.seed,
-            shard=(jax.process_index(), jax.process_count()) if jax.process_count() > 1 else (0, 1),
+            shard=(jax.process_index(), jax.process_count()),
             prefetch=self.cfg.prefetch_depth,
         )
 
@@ -191,13 +196,23 @@ class Trainer:
         filenames = read_split(self.cfg.split, which)
         ds = self.get_dataset(filenames, is_train=False, load_depth=True)
         return BatchLoader(
-            ds, self.global_B, shuffle=True, drop_last=True,
+            ds, self.global_B // jax.process_count(), shuffle=True, drop_last=True,
             num_workers=self.cfg.num_workers, seed=self.cfg.seed + 1,
+            shard=(jax.process_index(), jax.process_count()),
         )
 
     def put_batch(self, batch: Dict) -> Dict:
-        """Host batch -> device, batch-sharded over the mesh."""
+        """Host batch -> device, batch-sharded over the mesh.
+
+        Single process: plain (async) device_put of the global batch.
+        Multi-process: each host holds only its local shard, so assemble the
+        global array from per-process local data."""
         shard = batch_sharding(self.mesh)
+        if jax.process_count() > 1:
+            return jax.tree.map(
+                lambda x: jax.make_array_from_process_local_data(shard, np.asarray(x)),
+                batch,
+            )
         return jax.tree.map(lambda x: jax.device_put(x, shard), batch)
 
     def _device_prefetch(self, loader):
@@ -469,6 +484,11 @@ class Trainer:
         )
         losses = dict(losses)
         if "depth_gt" in batch:
+            if jax.process_count() > 1:
+                # metrics on this host's local shard (batch holds local data)
+                disp_scaled = np.concatenate(
+                    [np.asarray(s.data) for s in disp_scaled.addressable_shards]
+                )
             losses.update(
                 self.depth_metrics(batch, {("disp_scaled", 0, 0): disp_scaled})
             )
