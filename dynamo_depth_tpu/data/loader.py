@@ -154,3 +154,31 @@ class BatchLoader:
         finally:
             stop.set()
             ex.shutdown(wait=False, cancel_futures=True)
+
+
+def padded_eval_batches(dataset, batch_size: int, num_workers: int = 2, prefetch: int = 2):
+    """Yield (batch, real_indices) over a dataset in order, padding the final
+    batch to full size by repeating the last item (keeps jit shapes static;
+    eval CLIs weight metrics by the real count). Batches are prepared by a
+    thread pool and prefetched."""
+    n = len(dataset)
+    starts = list(range(0, n, batch_size))
+
+    def load(start):
+        idxs = list(range(start, min(start + batch_size, n)))
+        real = list(idxs)
+        while len(idxs) < batch_size:
+            idxs.append(idxs[-1])
+        return collate([dataset.get_item(i) for i in idxs]), real
+
+    ex = ThreadPoolExecutor(max_workers=max(1, num_workers))
+    try:
+        futures = [ex.submit(load, s) for s in starts[: prefetch + 1]]
+        next_submit = prefetch + 1
+        for i in range(len(starts)):
+            if next_submit < len(starts):
+                futures.append(ex.submit(load, starts[next_submit]))
+                next_submit += 1
+            yield futures[i].result()
+    finally:
+        ex.shutdown(wait=False, cancel_futures=True)

@@ -14,7 +14,7 @@ import numpy as np
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 from dynamo_depth_tpu.config import parse_config
-from dynamo_depth_tpu.data.loader import collate
+from dynamo_depth_tpu.data.loader import padded_eval_batches
 from dynamo_depth_tpu.data.splits import read_split
 from dynamo_depth_tpu.ops.geometry import disp_to_depth
 from dynamo_depth_tpu.ops.metrics import DEPTH_METRIC_NAMES
@@ -24,17 +24,6 @@ from dynamo_depth_tpu.utils.io import get_model_ckpt_name, join_dir, write_to_fi
 
 def display_str(l):
     return "".join(["{:^15s}".format(m) for m in l])
-
-
-def batched(dataset, batch_size):
-    """Yield (batch, real_count) with the final batch padded to batch_size."""
-    n = len(dataset)
-    for start in range(0, n, batch_size):
-        idxs = list(range(start, min(start + batch_size, n)))
-        real = len(idxs)
-        while len(idxs) < batch_size:
-            idxs.append(idxs[-1])
-        yield collate([dataset.get_item(i) for i in idxs]), real
 
 
 def sample_mask_at_points(mot_mask, depth_gt):
@@ -76,7 +65,10 @@ def main():
 
     totals = {m: 0.0 for m in metric_names}
     total_num = 0
-    for bi, (batch, real) in enumerate(batched(dataset, cfg.batch_size)):
+    for bi, (batch, real_idxs) in enumerate(
+        padded_eval_batches(dataset, cfg.batch_size, cfg.num_workers)
+    ):
+        real = len(real_idxs)
         outputs = dict(trainer.predict(batch))
         outputs[("disp_scaled", 0, 0)], _ = disp_to_depth(
             outputs[("disp", 0, 0)], cfg.min_depth, cfg.max_depth
@@ -107,7 +99,10 @@ def main():
 
         labels = {"bg": 0, "static": 2, "mot": 1}
         agg = {split: {m: [0.0, 0.0] for m in metric_names} for split in labels}
-        for bi, (batch, real) in enumerate(batched(dataset, cfg.batch_size)):
+        for bi, (batch, real_idxs) in enumerate(
+            padded_eval_batches(dataset, cfg.batch_size, cfg.num_workers)
+        ):
+            real = len(real_idxs)
             outputs = dict(trainer.predict(batch))
             outputs[("disp_scaled", 0, 0)], _ = disp_to_depth(
                 outputs[("disp", 0, 0)], cfg.min_depth, cfg.max_depth

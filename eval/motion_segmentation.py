@@ -18,23 +18,13 @@ import numpy as np
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 from dynamo_depth_tpu.config import parse_config
-from dynamo_depth_tpu.data.loader import collate
+from dynamo_depth_tpu.data.loader import padded_eval_batches
 from dynamo_depth_tpu.data.splits import read_split
 from dynamo_depth_tpu.ops.warp import resize_bilinear
 from dynamo_depth_tpu.training.trainer import Trainer
 from dynamo_depth_tpu.utils.io import get_model_ckpt_name, is_edge, join_dir
 
 NUM_THRD = 150
-
-
-def batched(dataset, batch_size):
-    n = len(dataset)
-    for start in range(0, n, batch_size):
-        idxs = list(range(start, min(start + batch_size, n)))
-        real = len(idxs)
-        while len(idxs) < batch_size:
-            idxs.append(idxs[-1])
-        yield collate([dataset.get_item(i) for i in idxs]), idxs[:real]
 
 
 def main():
@@ -63,7 +53,7 @@ def main():
     motion_pred = [None] * len(dataset)
     record = {v: np.zeros(NUM_THRD, np.float64) for v in ["tp", "fp", "fn"]}
 
-    for bi, (batch, real_idxs) in enumerate(batched(dataset, cfg.batch_size)):
+    for bi, (batch, real_idxs) in enumerate(padded_eval_batches(dataset, cfg.batch_size, cfg.num_workers)):
         outputs = trainer.predict(batch, bool_CmpFlow=True, bool_MotMask=True)
         pred = resize_bilinear(outputs[("motion_mask", -1, 0)], (full_h, full_w))
         pred = np.asarray(pred)[..., 0]  # (B, H, W)
@@ -111,7 +101,7 @@ def main():
     if cfg.dataset == "waymo":  # waymo has semantic labels, nuscenes does not
         best_f1_thrd = float(thrds[int(np.argmax(f1))])
         fp_tally = {"total": 0}
-        for bi, (batch, real_idxs) in enumerate(batched(dataset, cfg.batch_size)):
+        for bi, (batch, real_idxs) in enumerate(padded_eval_batches(dataset, cfg.batch_size, cfg.num_workers)):
             for ii, ind in enumerate(real_idxs):
                 gt_b = batch["mot_mask"][ii] == 1
                 valid_b = batch["mot_mask"][ii] != 3
