@@ -186,3 +186,21 @@ def test_native_and_pil_dataset_paths_agree():
 
     d = np.abs(item_native[("color", 0, 0)] - item_pil[("color", 0, 0)])
     assert d.max() <= 1.01 / 255
+
+
+def test_padded_eval_batches_order_and_padding():
+    from dynamo_depth_tpu.data.loader import padded_eval_batches
+
+    class FakeDS:
+        def __len__(self):
+            return 7
+
+        def get_item(self, i, rng=None):
+            return {"x": np.array([i])}
+
+    out = list(padded_eval_batches(FakeDS(), batch_size=3, num_workers=2))
+    assert len(out) == 3
+    batches = [b["x"][:, 0].tolist() for b, _ in out]
+    reals = [r for _, r in out]
+    assert batches == [[0, 1, 2], [3, 4, 5], [6, 6, 6]]  # padded by repeat
+    assert reals == [[0, 1, 2], [3, 4, 5], [6]]
