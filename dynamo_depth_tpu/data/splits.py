@@ -1,10 +1,12 @@
 """Split-file resolution.
 
 The reference ships ``splits/<name>/{train,val,test,test_mask}_files.txt``
-(~141k lines of dataset metadata, SURVEY §2.3). We resolve splits from, in
-order: ``<repo>/splits``, ``$DYNAMO_SPLITS_DIR``, then a reference checkout
-mounted at ``/root/reference/splits`` (read-only). ``scripts/fetch_splits.py``
-copies them into the repo from any Dynamo-Depth checkout.
+(~141k lines of dataset metadata, SURVEY §2.3), vendored byte-identical
+under ``<repo>/splits`` by ``scripts/fetch_splits.py``. Resolution is
+*per-file*, in order: ``$DYNAMO_SPLITS_DIR`` (user override, e.g. synthetic
+test splits), the repo-local directory, then a reference checkout mounted at
+``/root/reference/splits`` (read-only) — so a custom override directory that
+only defines one split still falls through to the vendored ones.
 """
 
 from __future__ import annotations
@@ -15,15 +17,19 @@ from typing import List
 
 _REPO_ROOT = osp.dirname(osp.dirname(osp.dirname(osp.abspath(__file__))))
 
-_CANDIDATES = [
-    osp.join(_REPO_ROOT, "splits"),
-    os.environ.get("DYNAMO_SPLITS_DIR", ""),
-    "/root/reference/splits",
-]
+
+def _candidates() -> List[str]:
+    return [
+        os.environ.get("DYNAMO_SPLITS_DIR", ""),
+        osp.join(_REPO_ROOT, "splits"),
+        "/root/reference/splits",
+    ]
 
 
 def splits_dir() -> str:
-    for c in _CANDIDATES:
+    """First existing candidate directory (kept for callers that want the
+    directory itself; file lookups use per-file fall-through)."""
+    for c in _candidates():
         if c and osp.isdir(c):
             return c
     raise FileNotFoundError(
@@ -32,15 +38,25 @@ def splits_dir() -> str:
     )
 
 
+def _resolve(split: str, which: str) -> str:
+    rel = osp.join(split, f"{which}_files.txt")
+    for c in _candidates():
+        if c and osp.exists(osp.join(c, rel)):
+            return osp.join(c, rel)
+    raise FileNotFoundError(
+        f"split file {rel} not found in any of {[c for c in _candidates() if c]}"
+    )
+
+
 def read_split(split: str, which: str = "train") -> List[str]:
     """Read ``splits/<split>/<which>_files.txt`` -> list of '<seg> <frame> [side]'."""
-    path = osp.join(splits_dir(), split, f"{which}_files.txt")
-    with open(path) as f:
+    with open(_resolve(split, which)) as f:
         return f.read().splitlines()
 
 
 def split_exists(split: str, which: str) -> bool:
     try:
-        return osp.exists(osp.join(splits_dir(), split, f"{which}_files.txt"))
+        _resolve(split, which)
+        return True
     except FileNotFoundError:
         return False

@@ -10,6 +10,7 @@ import jax.numpy as jnp
 
 from dynamo_depth_tpu.ops.warp import (
     grid_sample,
+    resize_bicubic_aa,
     resize_bilinear,
     resize_nearest,
     upsample2x_nearest,
@@ -78,3 +79,37 @@ def test_upsample2x_nearest_matches_torch(rng):
     ours = upsample2x_nearest(jnp.asarray(img))
     gold = F.interpolate(_to_nchw(img), scale_factor=2, mode="nearest")
     np.testing.assert_allclose(np.asarray(ours), np.moveaxis(gold.numpy(), 1, -1), atol=0)
+
+
+@pytest.mark.parametrize("out_hw", [(48, 80), (24, 40), (13, 21)])
+def test_resize_bicubic_aa_matches_torch(rng, out_hw):
+    """The in-train color pyramid resize is torchvision
+    Resize(BICUBIC, antialias=True) (Trainer.py:79); on tensors that is
+    torch's antialiased-bicubic interpolate (PIL a=-0.5 kernel), which
+    jax.image.resize(method='bicubic', antialias=True) matches to float
+    precision."""
+    B, H, W, C = 2, 96, 160, 3
+    img = rng.rand(B, H, W, C).astype(np.float32)
+    ours = resize_bicubic_aa(jnp.asarray(img), out_hw)
+    gold = F.interpolate(_to_nchw(img), out_hw, mode="bicubic", antialias=True)
+    gold = torch.clamp(gold, 0, 1)  # reference clamps after the pyramid resize
+    np.testing.assert_allclose(
+        np.asarray(ours), np.moveaxis(gold.numpy(), 1, -1), atol=2e-6
+    )
+
+
+def test_bicubic_pyramid_iterated_matches_reference_semantics(rng):
+    """Reference apply_img_resize (Trainer.py:729-734) builds scale s from
+    scale s-1 (factor-2 chain with a clamp at each level), not from scale 0."""
+    B, H, W, C = 1, 64, 96, 3
+    img = rng.rand(B, H, W, C).astype(np.float32)
+
+    t = torch.clamp(_to_nchw(img), 0, 1)
+    ours = jnp.asarray(img)
+    for s in (1, 2):
+        h, w = H // 2 ** s, W // 2 ** s
+        t = torch.clamp(F.interpolate(t, (h, w), mode="bicubic", antialias=True), 0, 1)
+        ours = resize_bicubic_aa(ours, (h, w))
+        np.testing.assert_allclose(
+            np.asarray(ours), np.moveaxis(t.numpy(), 1, -1), atol=2e-6
+        )
