@@ -485,10 +485,15 @@ class Trainer:
         losses = dict(losses)
         if "depth_gt" in batch:
             if jax.process_count() > 1:
-                # metrics on this host's local shard (batch holds local data)
-                disp_scaled = np.concatenate(
-                    [np.asarray(s.data) for s in disp_scaled.addressable_shards]
+                # metrics on this host's local shard (batch holds local data).
+                # Order shards by their global batch index so rows pair with
+                # the host-local batch["depth_gt"] rows — shard-list order is
+                # NOT guaranteed to follow the batch axis.
+                shards = sorted(
+                    disp_scaled.addressable_shards,
+                    key=lambda s: (s.index[0].start or 0),
                 )
+                disp_scaled = np.concatenate([np.asarray(s.data) for s in shards])
             losses.update(
                 self.depth_metrics(batch, {("disp_scaled", 0, 0): disp_scaled})
             )
@@ -521,18 +526,27 @@ class Trainer:
 
     def depth_metrics(self, inputs: Dict, outputs: Dict, mask_pts=None, labels=None,
                       sample_weight=None) -> Dict:
+        """Batched depth metrics, batch-sharded over the trainer mesh so the
+        per-sample metric core runs data-parallel (the prediction from
+        ``predict`` is already sharded; the host-side ground truth is placed
+        on the same sharding here)."""
         cfg = self.cfg
+        shard = batch_sharding(self.mesh)
+
+        def put(x):
+            return jax.device_put(jnp.asarray(x), shard)
+
         return depth_metrics(
             outputs[("disp_scaled", 0, 0)],
-            jnp.asarray(inputs["depth_gt"]),
-            jnp.asarray(inputs["depth_valid"]),
-            jnp.asarray(inputs["gt_dim"]),
+            put(inputs["depth_gt"]),
+            put(inputs["depth_valid"]),
+            put(inputs["gt_dim"]),
             np.asarray(cfg.eval_img_bound, np.float32),
             min_depth=cfg.eval_min_depth,
             max_depth=float(cfg.eval_max_depth),
-            mask_pts=None if mask_pts is None else jnp.asarray(mask_pts),
+            mask_pts=None if mask_pts is None else put(mask_pts),
             labels=labels,
-            sample_weight=None if sample_weight is None else jnp.asarray(sample_weight),
+            sample_weight=None if sample_weight is None else put(sample_weight),
         )
 
     # ------------------------------------------------------------------- io

@@ -17,9 +17,12 @@ import numpy as np
 
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
+import jax.numpy as jnp
+
 from dynamo_depth_tpu.config import parse_config
 from dynamo_depth_tpu.data.loader import padded_eval_batches
 from dynamo_depth_tpu.data.splits import read_split
+from dynamo_depth_tpu.ops.seg_metrics import pr_sweep_counts
 from dynamo_depth_tpu.ops.warp import resize_bilinear
 from dynamo_depth_tpu.training.trainer import Trainer
 from dynamo_depth_tpu.utils.io import get_model_ckpt_name, is_edge, join_dir
@@ -53,24 +56,28 @@ def main():
     motion_pred = [None] * len(dataset)
     record = {v: np.zeros(NUM_THRD, np.float64) for v in ["tp", "fp", "fn"]}
 
+    # On-device sweep (ops/seg_metrics.py): all 150 thresholds in one
+    # bucketize+histogram, batch-sharded over the trainer mesh; only the
+    # (T,) counts come back to the host. Results are exactly equal to the
+    # reference's per-threshold host loop.
+    thrds_dev = jnp.asarray(thrds)
+    need_pred_host = cfg.dataset == "waymo"  # pass 2 reuses per-image preds
+
     for bi, (batch, real_idxs) in enumerate(padded_eval_batches(dataset, cfg.batch_size, cfg.num_workers)):
         outputs = trainer.predict(batch, bool_CmpFlow=True, bool_MotMask=True)
-        pred = resize_bilinear(outputs[("motion_mask", -1, 0)], (full_h, full_w))
-        pred = np.asarray(pred)[..., 0]  # (B, H, W)
+        pred = resize_bilinear(outputs[("motion_mask", -1, 0)], (full_h, full_w))[..., 0]
+        gt = trainer.put_batch({"mot_mask": batch["mot_mask"]})["mot_mask"]
+        weight = np.zeros((cfg.batch_size,), np.float32)
+        weight[: len(real_idxs)] = 1.0
+        tp, fp, fn = pr_sweep_counts(pred, gt, thrds_dev, jnp.asarray(weight))
+        record["tp"] += np.asarray(tp, np.float64)
+        record["fp"] += np.asarray(fp, np.float64)
+        record["fn"] += np.asarray(fn, np.float64)
 
-        gt = batch["mot_mask"]  # (B, H, W)
-        for ii, ind in enumerate(real_idxs):
-            motion_pred[ind] = pred[ii]
-            gm = gt[ii] == 1
-            vm = gt[ii] != 3
-            pm = pred[ii][None] > thrds[:, None, None]  # (T, H, W)
-            inter = np.logical_and(gm[None], pm)
-            g_sum = gm.sum()
-            p_sum = (pm * vm[None]).sum((1, 2))
-            tp = inter.sum((1, 2))
-            record["tp"] += tp
-            record["fp"] += p_sum - tp
-            record["fn"] += g_sum - tp
+        if need_pred_host:
+            pred_host = np.asarray(pred)
+            for ii, ind in enumerate(real_idxs):
+                motion_pred[ind] = pred_host[ii]
         if bi % 20 == 0:
             print(f"(1/2) thresholds {bi * cfg.batch_size}/{len(dataset)}", flush=True)
 

@@ -14,7 +14,7 @@ import numpy as np
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 from dynamo_depth_tpu.config import parse_config
-from dynamo_depth_tpu.data.loader import collate
+from dynamo_depth_tpu.data.loader import padded_eval_batches
 from dynamo_depth_tpu.data.splits import read_split
 from dynamo_depth_tpu.ops.geometry import transformation_from_parameters
 from dynamo_depth_tpu.training.trainer import Trainer
@@ -55,16 +55,17 @@ def eval_odom(cfg, trainer, segment, track_length):
     dataset = trainer.get_dataset(filenames, is_train=False, img_type=cfg.eval_img_type)
     N = len(filenames)
 
-    pred_poses = []
-    for i in range(N):
-        batch = collate([dataset.get_item(i)])
+    # Batched pose prediction (the reference runs batch-size-1 frame-by-frame,
+    # odometry.py:44-68): frames of the segment fill static-shape padded
+    # batches, mesh-sharded by trainer.predict.
+    pred_poses = np.zeros((N, 4, 4), np.float64)
+    for batch, real_idxs in padded_eval_batches(dataset, cfg.batch_size, cfg.num_workers):
         outputs = trainer.predict(batch, bool_CmpFlow=False, bool_MotMask=False)
-        aa = np.asarray(outputs[("axisangle", 0, 1)])
-        tr = np.asarray(outputs[("translation", 0, 1)])
-        pred_poses.append(
-            np.asarray(transformation_from_parameters(aa, tr, invert=False))
-        )
-    pred_poses = np.concatenate(pred_poses)
+        aa = outputs[("axisangle", 0, 1)]
+        tr = outputs[("translation", 0, 1)]
+        T = np.asarray(transformation_from_parameters(aa, tr, invert=False))
+        for ii, ind in enumerate(real_idxs):
+            pred_poses[ind] = T[ii]
 
     gt_path = osp.join(cfg.data_path, segment, cfg.cam_name, "odometry.txt")
     gt_global = np.loadtxt(gt_path)[1:]  # ignore the first frame
@@ -99,8 +100,8 @@ def main():
     cfg = parse_config()
     cfg.frame_ids = [0, -1, 1]
     cfg.print_opt = False
-    cfg.num_workers = 1
-    cfg.batch_size = 1
+    # batch_size stays at the config/CLI value: pose prediction is batched
+    # (the reference pins batch_size=1, odometry.py:103).
     assert cfg.dataset in ("waymo", "nuscenes"), f"{cfg.dataset} is not supported."
 
     model_name, ckpt_name = get_model_ckpt_name(cfg.load_ckpt)
