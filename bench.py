@@ -40,6 +40,8 @@ def main():
     ap.add_argument("--compute_dtype", default="bfloat16", choices=["float32", "bfloat16"])
     ap.add_argument("--batch_size", type=int, default=3)
     ap.add_argument("--depth_model", default="litemono")
+    ap.add_argument("--profile_dir", default=None,
+                    help="capture a jax.profiler trace of the timed steps")
     args = ap.parse_args()
 
     cfg = DynamoConfig(
@@ -71,11 +73,41 @@ def main():
     jax.block_until_ready(losses["loss"])
 
     n_steps = 20
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
     t0 = time.perf_counter()
     for i in range(4, 4 + n_steps):
         t_params, batch_stats, opt_state, losses = step(i, t_params, batch_stats, opt_state)
     jax.block_until_ready(losses["loss"])
     dt = time.perf_counter() - t0
+    if args.profile_dir:
+        jax.profiler.stop_trace()
+
+    # --- MFU accounting (stderr; the stdout contract stays one JSON line).
+    # cost_analysis flops are the XLA-estimated fp32-equivalent flops of the
+    # whole compiled step (fwd+bwd+optimizer).
+    import sys
+
+    try:
+        compiled = built["step_fn"].lower(
+            t_params, f_params, batch_stats, opt_state, batch,
+            jax.random.PRNGKey(0), jnp.int32(0),
+        ).compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        step_flops = float(ca.get("flops", 0.0))
+        # v5e (v5 lite) peak: 197 TFLOP/s bf16, ~1/2 that for fp32 ops
+        peak = 197e12 if args.compute_dtype == "bfloat16" else 98.5e12
+        n_chips = trainer.n_dev
+        mfu = step_flops / (dt / n_steps) / (peak * n_chips)
+        print(
+            f"[bench] step={dt / n_steps * 1e3:.1f} ms  flops/step={step_flops:.3e}  "
+            f"HW peak={peak:.0e}/chip x{n_chips}  MFU={mfu * 100:.1f}%  "
+            f"bytes/step={float(ca.get('bytes accessed', 0.0)):.3e}",
+            file=sys.stderr,
+        )
+    except Exception as e:  # cost_analysis availability varies by backend
+        print(f"[bench] cost_analysis unavailable: {e}", file=sys.stderr)
 
     examples_per_sec = trainer.global_B * n_steps / dt
     print(json.dumps({

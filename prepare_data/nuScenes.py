@@ -58,14 +58,8 @@ def linked_list(nusc, first_item, table_name):
     return arr
 
 
-def box_point_fraction(points, corners):
-    if points.shape[0] == 0:
-        return 0
-    p1, p2, p4, p5 = corners[0], corners[1], corners[3], corners[4]
-    i_vec, j_vec, k_vec, v_vec = p2 - p1, p4 - p1, p5 - p1, points - p1
-    vi, vj, vk = v_vec @ i_vec.T, v_vec @ j_vec.T, v_vec @ k_vec.T
-    ii, jj, kk = i_vec @ i_vec.T, j_vec @ j_vec.T, k_vec @ k_vec.T
-    return ((0 < vi) & (vi < ii) & (0 < vj) & (vj < jj) & (0 < vk) & (vk < kk)).mean()
+# Shared with the waymo ETL; SDK-free and unit-tested in etl_common.py.
+from etl_common import box_point_fraction  # noqa: E402
 
 
 def lidar_to_camera(nusc, data_root, lidar, cam):

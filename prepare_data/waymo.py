@@ -46,58 +46,17 @@ ORG_HEIGHT, ORG_WIDTH = 1280, 1920
 MOVEABLE_CATEGORIES = {2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 16, 27}
 
 
-def undistort(img, intrinsic, dim):
-    """Undistort + return normalized 3x3 intrinsics."""
-    f_u, f_v, c_u, c_v, k1, k2, p1, p2, k3 = intrinsic
-    K = np.eye(3)
-    K[0, 0], K[0, 2], K[1, 1], K[1, 2] = f_u, c_u, f_v, c_v
-    out = cv2.undistort(img, cameraMatrix=K, distCoeffs=np.array([k1, k2, p1, p2, k3]))
-    height, width = dim
-    K[0] /= width
-    K[1] /= height
-    return out, K.tolist()
-
-
-def box_point_fraction(points, corners):
-    """Fraction of points inside the upright 3D box given by its corners."""
-    if points.shape[0] == 0:
-        return 0
-    p1, p2, p4, p5 = corners[0], corners[1], corners[3], corners[4]
-    i_vec, j_vec, k_vec, v_vec = p2 - p1, p4 - p1, p5 - p1, points - p1
-    vi, vj, vk = v_vec @ i_vec.T, v_vec @ j_vec.T, v_vec @ k_vec.T
-    ii, jj, kk = i_vec @ i_vec.T, j_vec @ j_vec.T, k_vec @ k_vec.T
-    return ((0 < vi) & (vi < ii) & (0 < vj) & (vj < jj) & (0 < vk) & (vk < kk)).mean()
-
-
-def instance_masks(semantic_label, instance_label, labels):
-    """Split panoptic labels into per-instance binary masks."""
-    masks, out_labels = [], []
-    for c in labels:
-        cls_inst = (instance_label + 1) * (semantic_label == c).astype(int)
-        for i in range(1, cls_inst.max() + 1):
-            masks.append((cls_inst == i).astype(int))
-            out_labels.append(c)
-    return masks, out_labels
+# Pure-array helpers live in etl_common.py (SDK-free, unit-tested).
+from etl_common import box_point_fraction, instance_masks, undistort  # noqa: E402
+from etl_common import lidar_index_map, project_points_to_camera  # noqa: E402
 
 
 def project_lidar_to_camera(points_all, cam_cal):
     """Vehicle-frame LiDAR points -> (N, 3) [u, v, z] in-camera points."""
-    fx, fy, cx, cy = list(cam_cal.intrinsic)[:4]
-    intrinsic = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]])
-    extrinsic = np.array(cam_cal.extrinsic.transform).reshape(4, 4)
-    # (x front, y left, z up) -> (x right, y down, z front)
-    axis_swap = np.array([[0, 0, 1, 0], [-1, 0, 0, 0], [0, -1, 0, 0], [0, 0, 0, 1]])
-    e2c = np.linalg.inv(extrinsic @ axis_swap)
-
-    cam_points = (e2c[:3, :3] @ points_all.T + e2c[:3, 3:4]).T
-    pix = (intrinsic @ cam_points.T).T
-    pix = pix[pix[:, 2] > 0]
-    uv = pix[:, :2] / pix[:, 2:]
-    valid = (
-        (uv[:, 0] >= 0) & (uv[:, 0] < cam_cal.width)
-        & (uv[:, 1] >= 0) & (uv[:, 1] < cam_cal.height)
+    return project_points_to_camera(
+        points_all, list(cam_cal.intrinsic)[:4],
+        np.array(cam_cal.extrinsic.transform), cam_cal.width, cam_cal.height,
     )
-    return np.concatenate((uv[valid][:, 0:2], pix[valid][:, 2:3]), 1)
 
 
 def match_mask_to_box(frame, pcloud_mask):
@@ -202,10 +161,10 @@ def process_segment(traversal_path, traversal_name, dataset_dir):
                 )
 
                 visible = points_all[cp_points_all[:, 0] == cam_code]
-                ind_map = np.full((ORG_HEIGHT, ORG_WIDTH, 1), -1)
-                for ind, (j, i) in enumerate(cp_points_all[cp_points_all[:, 0] == cam_code][:, 1:3]):
-                    ind_map[i, j] = ind
-                ind_map = ind_map.astype(int)
+                ind_map = lidar_index_map(
+                    cp_points_all[cp_points_all[:, 0] == cam_code][:, 1:3],
+                    ORG_HEIGHT, ORG_WIDTH,
+                )
 
                 masks, labels = instance_masks(semantic, instance, sorted(MOVEABLE_CATEGORIES))
                 objects = []
