@@ -105,6 +105,10 @@ class DynamoConfig:
     gp_tol: float = 0.005
     gp_max_it: int = 100
     gp_np_per_it: int = 5
+    # "per_batch" scores each RANSAC hypothesis against its own image;
+    # "reference" reproduces the reference's batch-mixing pairing
+    # (tools.py:130-133) bit-faithfully.
+    gp_score_mode: str = "per_batch"
 
     # LOADING options
     load_ckpt: str = ""
@@ -240,6 +244,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gp_tol", type=float, default=0.005)
     p.add_argument("--gp_max_it", type=int, default=100)
     p.add_argument("--gp_np_per_it", type=int, default=5)
+    p.add_argument("--gp_score_mode", type=str, default="per_batch",
+                   choices=["per_batch", "reference"])
     p.add_argument("--load_ckpt", "-l", type=str, default="")
     p.add_argument("--resume_optim", action="store_true")
     p.add_argument("--log_frequency", type=int, default=100)

@@ -12,12 +12,15 @@ TPU-first differences from the reference:
   ``(B*max_it, N) x 3`` contraction — no per-batch python loop;
 - outputs are ``stop_gradient``-ed, as the reference detaches them
   (tools.py:101);
-- **deliberate fix**: each hypothesis is scored against its own batch
-  element's candidate points. The reference pairs a batch-major hypothesis
-  list with a batch-*tiled* point list (``ws.reshape(-1,3,1)`` vs
-  ``points.repeat(max_it,1,1)``, tools.py:130-133), so hypothesis (b, m) is
-  scored against batch element (b*max_it + m) % B — mixing images within a
-  batch during inlier counting.
+- **deliberate fix** (default ``score_mode="per_batch"``): each hypothesis
+  is scored against its own batch element's candidate points. The reference
+  pairs a batch-major hypothesis list with a batch-*tiled* point list
+  (``ws.reshape(-1,3,1)`` vs ``points.repeat(max_it,1,1)``,
+  tools.py:130-133), so hypothesis (b, m) is scored against batch element
+  (b*max_it + m) % B — mixing images within a batch during inlier counting.
+  Pass ``score_mode="reference"`` to reproduce the reference pairing
+  bit-faithfully (``--gp_score_mode reference``) if real-data parity
+  training ever needs the exact recipe.
 """
 
 from __future__ import annotations
@@ -44,6 +47,8 @@ def ground_plane_fit(
     tol=0.005,
     g_prior=0.4,
     vertical_axis=1,
+    score_mode="per_batch",
+    sample_idx=None,
 ):
     """Estimate a ground plane per batch element and point-to-plane distances.
 
@@ -59,8 +64,9 @@ def ground_plane_fit(
     T = num_points_per_it * max_it
 
     # (B, T) uniform indices with replacement — same distribution as
-    # np.random.choice(N, T, replace=True) at tools.py:126.
-    idx = jax.random.randint(rng, (B, T), 0, N)
+    # np.random.choice(N, T, replace=True) at tools.py:126. ``sample_idx``
+    # overrides the draw (tests inject the reference's host sampling).
+    idx = jax.random.randint(rng, (B, T), 0, N) if sample_idx is None else sample_idx
     samp = jnp.take_along_axis(candidates, idx[..., None], axis=1)  # (B, T, 3)
     samp = samp.reshape(B * max_it, num_points_per_it, 3)
 
@@ -73,9 +79,21 @@ def ground_plane_fit(
     # Score every hypothesis against the candidate set.
     Ac, bc = _plane_AB(candidates, vertical_axis)  # (B, N, 3), (B, N, 1)
     w_b = w.reshape(B, max_it, 3)
-    # dist[b, m, n] = A[b, n, :] . w[b, m, :] - y[b, n]
-    dist = jnp.einsum("bnk,bmk->bmn", Ac, w_b) - bc[:, None, :, 0]
-    inlier_frac = jnp.mean((jnp.abs(dist) < tol).astype(points.dtype), axis=2)  # (B, M)
+    if score_mode == "per_batch":
+        # dist[b, m, n] = A[b, n, :] . w[b, m, :] - y[b, n]
+        dist = jnp.einsum("bnk,bmk->bmn", Ac, w_b) - bc[:, None, :, 0]
+        inlier_frac = jnp.mean((jnp.abs(dist) < tol).astype(points.dtype), axis=2)  # (B, M)
+    elif score_mode == "reference":
+        # Reference pairing (tools.py:130-133): flat hypothesis i = b*max_it+m
+        # is scored against batch element i % B.
+        pair = jnp.arange(B * max_it) % B
+        Ap, bp = Ac[pair], bc[pair]  # (BM, N, 3), (BM, N, 1)
+        dist = jnp.einsum("ink,ik->in", Ap, w.reshape(B * max_it, 3)) - bp[..., 0]
+        inlier_frac = jnp.mean(
+            (jnp.abs(dist) < tol).astype(points.dtype), axis=1
+        ).reshape(B, max_it)
+    else:
+        raise ValueError(f"score_mode {score_mode!r} not recognized")
     best = jnp.argmax(inlier_frac, axis=1)  # (B,)
     best_w = jnp.take_along_axis(w_b, best[:, None, None], axis=1)[:, 0, :]  # (B, 3)
 

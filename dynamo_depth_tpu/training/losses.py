@@ -144,6 +144,7 @@ def process_ground(cfg, inputs, outputs, scale, rng):
         pts, rng,
         num_points_per_it=cfg.gp_np_per_it, max_it=cfg.gp_max_it,
         tol=cfg.gp_tol, g_prior=cfg.gp_prior,
+        score_mode=getattr(cfg, "gp_score_mode", "per_batch"),
     )
 
     g_mask = (jnp.abs(plane_dist) < cfg.gp_tol).astype(disp.dtype)

@@ -203,3 +203,42 @@ def test_ground_plane_deterministic_parts_parity(rng):
     Ac, bc = _plane_AB(jnp.asarray(ps.numpy()))
     d = jnp.einsum("bnk,bkj->bnj", Ac, jnp.asarray(w_gold.numpy())) - bc
     np.testing.assert_allclose(np.asarray(d), d_gold.numpy(), atol=2e-4)
+
+
+def test_ground_plane_reference_score_mode_full_parity(rng):
+    """score_mode='reference' reproduces the reference GroundPlane end to end
+    (tools.py:76-164) including its batch-mixing hypothesis pairing, given
+    the same sampled points (host sampling injected via sample_idx)."""
+    from dynamo_depth_tpu.ops.ground_plane import ground_plane_fit
+
+    B, H, W = 3, 10, 8
+    max_it, npts, tol, g_prior = 6, 5, 0.05, 0.4
+    pts = rng.randn(B, H, W, 3).astype(np.float32)
+    # make the bottom rows roughly planar so inlier counts differentiate
+    gh = int(g_prior * H)
+    pts[:, H - gh :, :, 1] = 0.1 * pts[:, H - gh :, :, 0] + 0.05 \
+        + rng.randn(B, gh, W).astype(np.float32) * 0.02
+
+    gp = ref_tools.GroundPlane(num_points_per_it=npts, max_it=max_it, tol=tol,
+                               g_prior=g_prior)
+    t_pts = torch.tensor(np.moveaxis(pts, -1, 1))  # (B, 3, H, W)
+
+    np.random.seed(7)
+    g_dist, g_param = gp(t_pts)
+
+    # replay the reference's np.random.choice draws for injection
+    N = gh * W
+    np.random.seed(7)
+    idx = np.stack([np.random.choice(np.arange(N), npts * max_it, replace=True)
+                    for _ in range(B)])
+
+    dist, param = ground_plane_fit(
+        jnp.asarray(pts), jax.random.PRNGKey(0),
+        num_points_per_it=npts, max_it=max_it, tol=tol, g_prior=g_prior,
+        score_mode="reference", sample_idx=jnp.asarray(idx),
+    )
+
+    np.testing.assert_allclose(np.asarray(param), g_param.numpy(), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(dist)[..., 0], g_dist.numpy()[:, 0], atol=1e-4
+    )

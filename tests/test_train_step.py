@@ -127,3 +127,57 @@ def test_loss_decreases_under_repeated_steps(trainer):
         first = v if first is None else first
         last = v
     assert last < first
+
+
+class _FakeWandb:
+    """wandb facsimile for exercising the logging path (wandb absent in env)."""
+
+    def __init__(self):
+        self.logged = []
+        self.images = []
+
+    def Image(self, arr):
+        self.images.append(np.asarray(arr))
+        return ("image", np.asarray(arr).shape)
+
+    def log(self, package, step=None):
+        self.logged.append((step, package))
+
+
+def test_log_vis_grid_shapes(trainer):
+    """The 3x3 wandb visualization grid (Trainer.py:607-654 layout) builds
+    without wandb installed: rows [rgb|recon|L1], [disp|mask|depth],
+    [ego|independent|total flow], each cell HxW, values in [0,1]."""
+    built = trainer._build_phase("fine_tune", steps_per_epoch=10)
+    fake = _FakeWandb()
+    trainer._wandb = fake
+    trainer.cfg.no_train_vis = False
+    try:
+        batch = trainer.put_batch(synthetic_batch(trainer.cfg, trainer.global_B))
+        trainer.log_vis(
+            "train", built, trainer.variables["params"],
+            trainer.variables.get("batch_stats", {}), batch,
+        )
+    finally:
+        trainer._wandb = None
+        trainer.cfg.no_train_vis = True
+
+    assert len(fake.logged) == 1
+    step, package = fake.logged[0]
+    assert len(package) == trainer.B  # one grid per local-batch sample
+    for img in fake.images:
+        assert img.shape == (3 * H, 3 * W, 3), img.shape
+        assert np.isfinite(img).all()
+        assert img.min() >= 0.0 and img.max() <= 1.0
+
+
+def test_log_scalars_filters_nonscalars(trainer):
+    fake = _FakeWandb()
+    trainer._wandb = fake
+    try:
+        trainer.log_scalars("val", {"loss": jnp.float32(1.5),
+                                    "vec": jnp.zeros((3,))})
+    finally:
+        trainer._wandb = None
+    (step, package), = fake.logged
+    assert package == {"val_loss": 1.5}
