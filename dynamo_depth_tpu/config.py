@@ -145,6 +145,9 @@ class DynamoConfig:
     # Use the fused Pallas photometric kernel in the loss (TPU only; measured
     # at parity with the XLA path on v5e, kept selectable for later tuning).
     pallas_photometric: bool = False
+    # Use the Pallas take_along_axis gather kernel for the view-synthesis
+    # warp forward (TPU only; probe-gated, see ops/pallas/warp_kernel.py).
+    pallas_warp: bool = False
     # Set by train.py in multi-process mode; mirrors reference local_world_size.
     local_world_size: int = 1
 
@@ -265,6 +268,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--profile", action="store_true")
     p.add_argument("--pallas_photometric", action="store_true")
+    p.add_argument("--pallas_warp", action="store_true")
     return p
 
 

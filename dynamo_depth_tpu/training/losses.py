@@ -42,6 +42,15 @@ def _reprojection_loss(cfg, pred, target):
     return _reprojection_loss_xla(pred, target, ssim_weight=cfg.ssim_weight)
 
 
+def _grid_sample(cfg, image, grid):
+    """Bilinear warp, optionally via the Pallas gather kernel."""
+    if getattr(cfg, "pallas_warp", False):
+        from dynamo_depth_tpu.ops.pallas import grid_sample_pallas
+
+        return grid_sample_pallas(image, grid)
+    return grid_sample(image, grid)
+
+
 def loss_coefficients(cfg, step_in_phase, steps_per_epoch) -> Dict[str, jnp.ndarray]:
     """Per-term coefficients with the weight ramp
     (Trainer.py:303-310): ramped coefs scale by
@@ -107,7 +116,7 @@ def view_synthesis(cfg, inputs, outputs, *, bool_CmpFlow, bool_MotMask, automask
                 independ_flow = jnp.zeros_like(ego_flow)
 
             outputs[("sample", f, scale)] = sample
-            outputs[("color", f, scale)] = grid_sample(inputs[("color", f, 0)], sample)
+            outputs[("color", f, scale)] = _grid_sample(cfg, inputs[("color", f, 0)], sample)
             outputs[("ego_flow", f, scale)] = ego_flow
             outputs[("independ_flow", f, scale)] = independ_flow.reshape(B, H, W, 3)
             outputs[("residual_flow", f, scale)] = resize_bilinear(

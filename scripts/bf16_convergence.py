@@ -1,0 +1,189 @@
+"""fp32-vs-bf16 convergence comparison (round-1 VERDICT item 10).
+
+Trains the full curriculum twice — ``--compute_dtype float32`` and
+``bfloat16`` — on a *geometrically consistent* synthetic KITTI scene and
+compares the val depth metrics (abs_rel / rmse / a1, median-scaled like the
+reference's ``DepthMetrics``), not just loss traces.
+
+The scene is exactly renderable from any camera position (no warping
+artifacts): a ground plane at camera height 1.5 m plus a frontal wall,
+textured by a fixed random-Fourier-feature function of the *world* surface
+coordinates, viewed by a camera translating forward ``DZ`` per frame. Every
+frame and its ground-truth depth are analytically consistent, so a correctly
+converging photometric pipeline drives abs_rel toward 0 (up to the usual
+monocular scale, which median scaling removes).
+
+Usage (TPU or DYNAMO_FORCE_PLATFORM=cpu):
+    python scripts/bf16_convergence.py --out /tmp/bf16_conv \
+        [--height 96 --width 320 --steps-per-epoch 600 --epochs 2 2 2 2]
+"""
+
+import argparse
+import json
+import os
+import os.path as osp
+import sys
+
+import numpy as np
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+CAM_HEIGHT = 1.5   # m, ground plane distance below the optical axis
+WALL_Z = 22.0      # m, frontal wall world depth at frame 0
+DZ = 0.25          # m forward per frame
+N_FRAMES = 30
+HORIZON = 0.553    # v/H above which the wall is used (ground depth > ~55 m)
+FX_N, FY_N = 0.58, 1.92  # the KITTI loader's normalized intrinsics
+DEPTH_KEYS = ("de:abs_rel", "de:sq_rel", "de:rms", "da:a1", "da:a2", "da:a3")
+
+
+def _texture(rng, a, b):
+    """Smooth deterministic RGB texture over world surface coords (a, b)."""
+    K = 24
+    f = rng.uniform(-3.0, 3.0, (2, K))
+    ph = rng.uniform(0, 2 * np.pi, (3, K))
+    amp = rng.uniform(0.3, 1.0, (3, K)) / np.sqrt(K)
+    arg = a[..., None] * f[0] + b[..., None] * f[1]  # (..., K)
+    chans = [np.sum(amp[c] * np.cos(2 * np.pi * arg + ph[c]), -1) for c in range(3)]
+    img = np.stack(chans, -1)
+    img = (img - img.min()) / (img.max() - img.min() + 1e-9)
+    return img
+
+
+def render_scene(root, W0=640, H0=192):
+    """Write a consistent N_FRAMES-frame KITTI-layout sequence + splits."""
+    from PIL import Image
+
+    seq = "2011_09_26/2011_09_26_drive_0001_sync"
+    cam = "image_02"
+    base = osp.join(root, seq, cam)
+    os.makedirs(osp.join(base, "rgb", "downsample"), exist_ok=True)
+    os.makedirs(osp.join(base, "depth"), exist_ok=True)
+
+    rng_g = np.random.RandomState(1)
+    rng_w = np.random.RandomState(2)
+    u = (np.arange(W0) + 0.5) / W0  # normalized pixel centers
+    v = (np.arange(H0) + 0.5) / H0
+    uu, vv = np.meshgrid(u, v)
+    # Normalized ray directions (x/z, y/z).
+    rx = (uu - 0.5) / FX_N
+    ry = (vv - 0.5) / FY_N
+    ground = vv > HORIZON
+
+    for i in range(N_FRAMES):
+        cam_z = i * DZ
+        # Per-pixel camera-frame depth.
+        z_ground = CAM_HEIGHT / np.maximum(ry, 1e-6)
+        z_wall = np.maximum(WALL_Z - cam_z, 1.0)
+        z = np.where(ground, z_ground, z_wall)
+        # World surface coordinates for texturing.
+        wx = rx * z
+        wz = z + cam_z
+        img = np.where(
+            ground[..., None],
+            _texture(rng_g, 0.35 * wx, 0.35 * wz),
+            _texture(rng_w, 0.35 * wx, 0.35 * (ry * z)),
+        )
+        Image.fromarray((img * 255).astype(np.uint8)).save(
+            osp.join(base, "rgb", "downsample", f"{i:010}.jpg"), quality=95
+        )
+        # Sparse gt: every 3rd pixel below the horizon margin, plus wall rows.
+        hh, ww = np.meshgrid(np.arange(0, H0, 3), np.arange(0, W0, 3), indexing="ij")
+        zz = z[hh, ww]
+        keep = zz < 60.0
+        pts = np.stack([hh[keep], ww[keep], zz[keep]], -1).astype(np.float32)
+        np.save(osp.join(base, "depth", f"{i:010}.npy"), pts)
+
+    with open(osp.join(root, seq, "calib_cam_to_cam.txt"), "w") as f:
+        f.write(f"S_rect_02: {W0:.6e} {H0:.6e}\nS_rect_03: {W0:.6e} {H0:.6e}\n")
+
+    splits = osp.join(root, "splits", "synth")
+    os.makedirs(splits, exist_ok=True)
+    with open(osp.join(splits, "train_files.txt"), "w") as f:
+        f.write("".join(f"{seq} {i} l\n" for i in range(1, 20)))
+    with open(osp.join(splits, "val_files.txt"), "w") as f:
+        f.write("".join(f"{seq} {i} l\n" for i in range(21, 29)))
+    return osp.join(root, "splits")
+
+
+def run_one(compute_dtype, data_root, splits_dir, args):
+    from dynamo_depth_tpu.config import DynamoConfig
+    from dynamo_depth_tpu.training.trainer import Trainer
+
+    os.environ["DYNAMO_SPLITS_DIR"] = splits_dir
+    cfg = DynamoConfig(
+        dataset="kitti", split="synth", data_path=data_root + "/",
+        depth_model=args.depth_model, height=args.height, width=args.width,
+        batch_size=args.batch_size, compute_dtype=compute_dtype,
+        epoch_size=args.steps_per_epoch * args.batch_size,
+        epoch_schedules=args.epochs, log_frequency=args.val_every,
+        no_train_vis=True, num_devices=0, num_workers=2,
+        log_dir=osp.join(args.out, "logs"), model_name=f"conv_{compute_dtype}",
+    )
+
+    class RecordingTrainer(Trainer):
+        def __init__(self, cfg):
+            super().__init__(cfg)
+            self.history = []
+            self._wandb = None
+
+        def setup_logging(self):
+            self._wandb = None
+
+        def log_scalars(self, mode, losses):
+            if mode == "val":
+                rec = {k: float(v) for k, v in losses.items()
+                       if np.ndim(v) == 0}
+                rec["g_step"] = int(self.g_step)
+                self.history.append(rec)
+                keys = [k for k in ("de:abs_rel", "de:rms", "da:a1", "loss") if k in rec]
+                print(f"  [val {compute_dtype} step {self.g_step}] "
+                      + "  ".join(f"{k}={rec[k]:.4f}" for k in keys), flush=True)
+
+        def log_vis(self, *a, **k):
+            pass
+
+    trainer = RecordingTrainer(cfg)
+    trainer.train()
+    return trainer.history
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/bf16_conv")
+    ap.add_argument("--height", type=int, default=96)
+    ap.add_argument("--width", type=int, default=320)
+    ap.add_argument("--depth_model", default="litemono")
+    ap.add_argument("--batch_size", type=int, default=6)
+    ap.add_argument("--steps-per-epoch", type=int, default=100)
+    ap.add_argument("--epochs", type=int, nargs=4, default=[2, 1, 1, 2],
+                    help="epochs per curriculum phase")
+    ap.add_argument("--val_every", type=int, default=25)
+    ap.add_argument("--dtypes", nargs="+", default=["float32", "bfloat16"])
+    args = ap.parse_args()
+
+    data_root = osp.join(args.out, "data")
+    splits_dir = render_scene(data_root)
+    print(f"scene rendered under {data_root}", flush=True)
+
+    results = {}
+    for dt in args.dtypes:
+        print(f"==== training compute_dtype={dt} ====", flush=True)
+        results[dt] = run_one(dt, data_root, splits_dir, args)
+
+    with open(osp.join(args.out, "history.json"), "w") as f:
+        json.dump(results, f, indent=1)
+
+    print("\n==== final val metrics (last record per dtype) ====")
+    for dt, hist in results.items():
+        if hist:
+            last = hist[-1]
+            keys = [k for k in DEPTH_KEYS if k in last]
+            print(f"{dt:10s} step {last['g_step']:5d}  "
+                  + "  ".join(f"{k}={last[k]:.4f}" for k in keys))
+
+
+if __name__ == "__main__":
+    main()
