@@ -65,23 +65,37 @@ def main():
             jax.random.PRNGKey(i), jnp.int32(i),
         )
 
-    # compile + warmup
+    # compile + warmup. NOTE (axon tunnel): jax.block_until_ready returns at
+    # remote *enqueue*, not completion, and a host readback pays a ~37 ms
+    # HTTP roundtrip (measured: scalar roundtrip 37.2 ms, see BENCH.md). So
+    # timing uses a two-run DIFFERENCE — (N2 - N1 steps) between two synced
+    # readbacks — which cancels both the roundtrip latency and any
+    # enqueue-side pipelining bias.
     t_params, batch_stats, opt_state, losses = step(0, t_params, batch_stats, opt_state)
-    jax.block_until_ready(losses["loss"])
+    float(losses["loss"])
     for i in range(1, 4):
         t_params, batch_stats, opt_state, losses = step(i, t_params, batch_stats, opt_state)
-    jax.block_until_ready(losses["loss"])
+    float(losses["loss"])
 
-    n_steps = 20
+    def run_block(i0, n):
+        nonlocal t_params, batch_stats, opt_state
+        t0 = time.perf_counter()
+        for i in range(i0, i0 + n):
+            t_params, batch_stats, opt_state, losses = step(
+                i, t_params, batch_stats, opt_state
+            )
+        float(losses["loss"])  # forced device->host readback
+        return time.perf_counter() - t0
+
+    n1, n2 = 5, 55
     if args.profile_dir:
         jax.profiler.start_trace(args.profile_dir)
-    t0 = time.perf_counter()
-    for i in range(4, 4 + n_steps):
-        t_params, batch_stats, opt_state, losses = step(i, t_params, batch_stats, opt_state)
-    jax.block_until_ready(losses["loss"])
-    dt = time.perf_counter() - t0
+    t_small = run_block(4, n1)
+    t_large = run_block(4 + n1, n2)
     if args.profile_dir:
         jax.profiler.stop_trace()
+    n_steps = n2 - n1
+    dt = t_large - t_small
 
     # --- MFU accounting (stderr; the stdout contract stays one JSON line).
     # cost_analysis flops are the XLA-estimated fp32-equivalent flops of the

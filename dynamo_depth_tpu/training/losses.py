@@ -43,11 +43,17 @@ def _reprojection_loss(cfg, pred, target):
 
 
 def _grid_sample(cfg, image, grid):
-    """Bilinear warp, optionally via the Pallas gather kernel."""
+    """Bilinear warp, optionally via the Pallas gather kernel.
+
+    Probe-gated: the 2026-08-16 Mosaic toolchain only compiles within-tile
+    dynamic gathers (see ops/pallas/warp_kernel.py docstring), so on TPU the
+    probe fails and the XLA gather path is used even under --pallas_warp."""
     if getattr(cfg, "pallas_warp", False):
         from dynamo_depth_tpu.ops.pallas import grid_sample_pallas
+        from dynamo_depth_tpu.ops.pallas.warp_kernel import supported
 
-        return grid_sample_pallas(image, grid)
+        if supported():
+            return grid_sample_pallas(image, grid)
     return grid_sample(image, grid)
 
 

@@ -2,84 +2,101 @@
 
 Usage: python scripts/profile_top_ops.py /tmp/prof_b3 [N]
 
-Parses the xplane.pb under <dir>/plugins/profile/<run>/ with
-tensorboard_plugin_profile and prints the top-N HLO ops by total self time,
-grouped by op category — the "name the top-3 time sinks" evidence for
-BENCH.md (round-1 VERDICT item 4).
+Parses the trace-viewer JSON (<dir>/plugins/profile/<run>/*.trace.json.gz)
+and prints the top-N device ops by total duration, plus a fused-op category
+rollup — the "name the top time sinks" evidence for BENCH.md (round-1
+VERDICT item 4).
 """
 
 import glob
+import gzip
+import json
+import re
 import sys
 from collections import defaultdict
 
-from tensorboard_plugin_profile.protobuf import xplane_pb2
 
-
-def load_xplane(trace_dir):
-    paths = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/*.xplane.pb"))
+def load_trace(trace_dir):
+    paths = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/*.trace.json.gz"))
     if not paths:
-        raise SystemExit(f"no xplane.pb under {trace_dir}")
-    xs = xplane_pb2.XSpace()
-    with open(paths[-1], "rb") as f:
-        xs.ParseFromString(f.read())
-    return xs
+        raise SystemExit(f"no trace.json.gz under {trace_dir}")
+    with gzip.open(paths[-1], "rt") as f:
+        return json.load(f)
+
+
+def classify(name):
+    n = name.lower()
+    if "fusion" in n:
+        return "fusion"
+    for k in ("convolution", "conv"):
+        if k in n:
+            return "convolution"
+    for k in ("dot", "matmul", "einsum"):
+        if k in n:
+            return "matmul"
+    if "gather" in n:
+        return "gather"
+    if "scatter" in n:
+        return "scatter"
+    if "reduce-window" in n or "reduce_window" in n:
+        return "reduce-window"
+    if "all-reduce" in n or "psum" in n:
+        return "collective"
+    if "copy" in n or "transpose" in n or "reshape" in n or "bitcast" in n:
+        return "layout/copy"
+    if "sort" in n:
+        return "sort"
+    if "rng" in n:
+        return "rng"
+    return "other"
 
 
 def main():
     trace_dir = sys.argv[1]
     topn = int(sys.argv[2]) if len(sys.argv) > 2 else 25
-    xs = load_xplane(trace_dir)
+    data = load_trace(trace_dir)
+    events = data["traceEvents"]
 
-    # Find device planes (TPU). Host plane is "/host:CPU".
-    total_by_op = defaultdict(float)
-    cat_by_op = {}
-    for plane in xs.planes:
-        if "TPU" not in plane.name and "device" not in plane.name.lower():
+    # Device events live under pids whose process_name mentions TPU/device.
+    pid_name = {}
+    tid_name = {}
+    for ev in events:
+        if ev.get("ph") == "M":
+            if ev.get("name") == "process_name":
+                pid_name[ev["pid"]] = ev["args"].get("name", "")
+            if ev.get("name") == "thread_name":
+                tid_name[(ev["pid"], ev.get("tid"))] = ev["args"].get("name", "")
+
+    device_pids = {p for p, n in pid_name.items()
+                   if re.search(r"tpu|device|/device", n, re.I) and "host" not in n.lower()}
+
+    by_op = defaultdict(float)
+    count = defaultdict(int)
+    for ev in events:
+        if ev.get("ph") != "X" or ev.get("pid") not in device_pids:
             continue
-        stat_md = {k: v.name for k, v in plane.stat_metadata.items()}
-        ev_md = {k: v.name for k, v in plane.event_metadata.items()}
-        for line in plane.lines:
-            # XLA op lines carry per-op events; step lines etc. are skipped by
-            # only counting lines whose events map to HLO metadata names.
-            for ev in line.events:
-                name = ev_md.get(ev.metadata_id, "?")
-                dur = ev.duration_ps / 1e9  # ms
-                cat = None
-                for st in ev.stats:
-                    sname = stat_md.get(st.metadata_id, "")
-                    if sname in ("hlo_category", "tf_op", "hlo_op"):
-                        if st.HasField("str_metadata_id"):
-                            continue
-                        if st.HasField("str_value"):
-                            cat = cat or st.str_value
-                if "XLA Op" in line.name or "XLA Ops" in line.name:
-                    total_by_op[name] += dur
-                    if cat:
-                        cat_by_op[name] = cat
+        tname = tid_name.get((ev["pid"], ev.get("tid")), "")
+        # Only the XLA-op-level lines (skip step/scope rollup lines).
+        if "XLA Op" not in tname and "XLA Ops" not in tname and "Ops" not in tname:
+            continue
+        by_op[ev["name"]] += ev.get("dur", 0) / 1e3  # us -> ms
+        count[ev["name"]] += 1
 
-    if not total_by_op:
-        # fallback: accumulate every device line
-        for plane in xs.planes:
-            if "TPU" not in plane.name:
-                continue
-            ev_md = {k: v.name for k, v in plane.event_metadata.items()}
-            for line in plane.lines:
-                for ev in line.events:
-                    total_by_op[f"{line.name}:{ev_md.get(ev.metadata_id, '?')}"] += (
-                        ev.duration_ps / 1e9
-                    )
+    if not by_op:
+        print("process names seen:", sorted(set(pid_name.values())))
+        print("thread names seen:", sorted(set(tid_name.values()))[:20])
+        raise SystemExit("no device op events matched")
 
-    total = sum(total_by_op.values())
-    print(f"total device op time: {total:.2f} ms across {len(total_by_op)} ops")
-    ranked = sorted(total_by_op.items(), key=lambda kv: -kv[1])
-    print(f"{'ms':>9} {'%':>6}  op [category]")
+    total = sum(by_op.values())
+    print(f"total device op time: {total:.2f} ms across {len(by_op)} distinct ops")
+    ranked = sorted(by_op.items(), key=lambda kv: -kv[1])
+    print(f"{'ms':>9} {'%':>6} {'n':>5}  op")
     for name, ms in ranked[:topn]:
-        print(f"{ms:9.3f} {100*ms/total:6.2f}  {name} [{cat_by_op.get(name, '-')}]")
+        print(f"{ms:9.3f} {100*ms/total:6.2f} {count[name]:5d}  {name[:110]}")
 
-    # Category rollup.
     by_cat = defaultdict(float)
-    for name, ms in total_by_op.items():
-        by_cat[cat_by_op.get(name, "uncategorized")] += ms
+    for name, ms in by_op.items():
+        by_cat[classify(name)] += ms
     print("\ncategory rollup:")
     for cat, ms in sorted(by_cat.items(), key=lambda kv: -kv[1]):
         print(f"{ms:9.3f} {100*ms/total:6.2f}  {cat}")

@@ -42,3 +42,9 @@ def test_pallas_warp_matches_xla(rng):
     g1 = jax.grad(lambda im: jnp.sum(grid_sample_pallas(im, grid) ** 2))(img)
     g2 = jax.grad(lambda im: jnp.sum(grid_sample(im, grid) ** 2))(img)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+
+    # The coordinate gradient must match too — it backpropagates into depth,
+    # pose, and flow through the sample coordinates.
+    gg1 = jax.grad(lambda gr: jnp.sum(grid_sample_pallas(img, gr) ** 2))(grid)
+    gg2 = jax.grad(lambda gr: jnp.sum(grid_sample(img, gr) ** 2))(grid)
+    np.testing.assert_allclose(np.asarray(gg1), np.asarray(gg2), atol=1e-5)
