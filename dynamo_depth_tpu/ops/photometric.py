@@ -14,12 +14,15 @@ import jax.numpy as jnp
 
 
 def _avg_pool3x3(x):
-    """3x3/stride-1 mean pool, VALID. x: (B, H, W, C) -> (B, H-2, W-2, C)."""
-    s = jax.lax.reduce_window(
-        x, 0.0, jax.lax.add, window_dimensions=(1, 3, 3, 1),
-        window_strides=(1, 1, 1, 1), padding="VALID",
-    )
-    return s / 9.0
+    """3x3/stride-1 mean pool, VALID. x: (B, H, W, C) -> (B, H-2, W-2, C).
+
+    Expressed as six separable shifted adds (static slices) rather than
+    ``lax.reduce_window``: on the v5e this backend lowers reduce-window
+    ~2x slower than the fused slice-adds, in forward AND backward
+    (measured 0.88 -> 0.52 ms fwd, 0.68 -> 0.39 ms fwd+bwd for six KITTI
+    frames; BENCH.md "SSIM pooling")."""
+    r = x[:, :-2] + x[:, 1:-1] + x[:, 2:]
+    return (r[:, :, :-2] + r[:, :, 1:-1] + r[:, :, 2:]) / 9.0
 
 
 def ssim(x, y, *, c1=0.01 ** 2, c2=0.03 ** 2):
