@@ -117,6 +117,7 @@ def run_one(compute_dtype, data_root, splits_dir, args):
         dataset="kitti", split="synth", data_path=data_root + "/",
         depth_model=args.depth_model, height=args.height, width=args.width,
         batch_size=args.batch_size, compute_dtype=compute_dtype,
+        learning_rate=args.lr,
         epoch_size=args.steps_per_epoch * args.batch_size,
         epoch_schedules=args.epochs, log_frequency=args.val_every,
         no_train_vis=True, num_devices=0, num_workers=2,
@@ -161,6 +162,9 @@ def main():
     ap.add_argument("--epochs", type=int, nargs=4, default=[2, 1, 1, 2],
                     help="epochs per curriculum phase")
     ap.add_argument("--val_every", type=int, default=25)
+    ap.add_argument("--lr", type=float, default=1e-4,
+                    help="learning rate (identical across dtype arms; raise "
+                         "to make depth move within a short synthetic budget)")
     ap.add_argument("--dtypes", nargs="+", default=["float32", "bfloat16"])
     args = ap.parse_args()
 
