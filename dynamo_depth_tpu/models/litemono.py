@@ -15,6 +15,7 @@ ever needed (SURVEY §5). GELUs are exact (erf), matching torch nn.GELU.
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Sequence
 
 import flax.linen as nn
@@ -30,13 +31,85 @@ def _gelu(x):
 
 
 def avg_pool_3x3_s2(x):
-    """torch AvgPool2d(3, stride=2, padding=1) with count_include_pad=True."""
-    s = jax.lax.reduce_window(
-        x, 0.0, jax.lax.add,
-        window_dimensions=(1, 3, 3, 1), window_strides=(1, 2, 2, 1),
-        padding=((0, 0), (1, 1), (1, 1), (0, 0)),
-    )
+    """torch AvgPool2d(3, stride=2, padding=1) with count_include_pad=True.
+
+    Two formulations, selected by ``DYNAMO_AVGPOOL`` (default
+    ``reduce_window``; ``slices`` opts into nine strided-slice adds).
+    Measured in-step on the v5e (BENCH.md round-2 formulation study): unlike
+    the stride-1 SSIM 3x3 pool — where shifted adds fuse and win — the
+    stride-2 slice taps and their backward pads do NOT fuse on this backend
+    and each materializes a full HBM round-trip (+2.1 ms/step across the
+    depth encoder with the depthwise-slice form). ``reduce_window`` is the
+    measured winner for the strided model pools.
+    """
+    if os.environ.get("DYNAMO_AVGPOOL", "reduce_window") != "slices":
+        s = jax.lax.reduce_window(
+            x, 0.0, jax.lax.add,
+            window_dimensions=(1, 3, 3, 1), window_strides=(1, 2, 2, 1),
+            padding=((0, 0), (1, 1), (1, 1), (0, 0)),
+        )
+        return s / 9.0
+    B, H, W, C = x.shape
+    Ho, Wo = (H + 1) // 2, (W + 1) // 2
+    xp = jnp.pad(x, ((0, 0), (1, 2), (1, 2), (0, 0)))
+    s = None
+    for i in range(3):
+        for j in range(3):
+            tap = jax.lax.slice(
+                xp, (0, i, j, 0), (B, i + 2 * Ho - 1, j + 2 * Wo - 1, C),
+                strides=(1, 2, 2, 1),
+            )
+            s = tap if s is None else s + tap
     return s / 9.0
+
+
+class DepthwiseConv3x3(nn.Module):
+    """Depthwise (grouped, groups=C) dilated 3x3 conv, no bias.
+
+    Parameter pytree is identical to
+    ``nn.Conv(dim, (3, 3), feature_group_count=dim, use_bias=False)`` —
+    one ``kernel`` of shape (3, 3, 1, C) with the same lecun_normal init —
+    so checkpoints and the torch converter are unaffected by the
+    implementation choice. ``DYNAMO_DEPTHWISE`` selects the lowering
+    (default ``conv`` = grouped convolution; ``slices`` = nine shifted
+    multiply-adds). Measured in-step on the v5e (BENCH.md round-2
+    formulation study): the shifted-multiply-add form loses — its pad and
+    slice taps lower as standalone HBM ops instead of fusing with the
+    surrounding BatchNorm/GELU, costing ~+1 ms/step over the depth encoder —
+    so grouped conv is the default.
+    """
+
+    dim: int
+    dilation: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, 1, self.dim),
+            jnp.float32,
+        )
+        w = w.astype(self.dtype)
+        x = x.astype(self.dtype)
+        d = self.dilation
+        if os.environ.get("DYNAMO_DEPTHWISE", "conv") != "slices":
+            return jax.lax.conv_general_dilated(
+                x, w, window_strides=(1, 1), padding=((d, d), (d, d)),
+                rhs_dilation=(d, d),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=self.dim, precision=prec(self.dtype),
+            )
+        H, W = x.shape[1], x.shape[2]
+        xp = jnp.pad(x, ((0, 0), (d, d), (d, d), (0, 0)))
+        out = None
+        for i in range(3):
+            for j in range(3):
+                tap = jax.lax.slice_in_dim(
+                    jax.lax.slice_in_dim(xp, i * d, i * d + H, axis=1),
+                    j * d, j * d + W, axis=2,
+                ) * w[i, j, 0]
+                out = tap if out is None else out + tap
+        return out
 
 
 class ConvBNGELU(nn.Module):
@@ -138,12 +211,8 @@ class DilatedConvBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         inp = x
-        pad = self.dilation  # int((3-1)/2)*d
-        x = nn.Conv(
-            self.dim, (3, 3), padding=((pad, pad), (pad, pad)),
-            kernel_dilation=(self.dilation, self.dilation),
-            feature_group_count=self.dim, use_bias=False, dtype=self.dtype,
-            precision=prec(self.dtype), name="ddwconv",
+        x = DepthwiseConv3x3(
+            self.dim, dilation=self.dilation, dtype=self.dtype, name="ddwconv",
         )(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn1",

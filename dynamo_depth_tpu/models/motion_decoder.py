@@ -16,13 +16,63 @@ out_dim=3 (complete flow) and out_dim=1 (motion mask), model.py:34-35.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from dynamo_depth_tpu.models.layers import prec
 from dynamo_depth_tpu.ops.warp import resize_bilinear
+
+
+class _ConcatConv(nn.Module):
+    """``nn.Conv(out, k)(concat([a, b], -1))`` evaluated without the concat.
+
+    The refinement pyramid concatenates small-channel full-resolution
+    tensors only to feed them to a conv; on TPU that concat is a pure
+    HBM/layout cost (~1.6 ms/step at the finest level, profiled on v5e).
+    In-step the split form measures roughly neutral (-0.1 ms/step across
+    motion_dec+motion_mask, BENCH.md round-2 formulation study): XLA re-emits
+    comparable elementwise adds for conv_a+conv_b, but the materialized
+    concat buffer is gone, so it is kept as the default.
+    Since conv is linear in its input channels,
+    ``conv(cat(a, b)) == conv_a(a) + conv_b(b)`` with the kernel split along
+    the input-channel axis — the parameter pytree ('kernel' of shape
+    (k, k, Ca+Cb, out) + 'bias') and its init are identical to the nn.Conv
+    form, so checkpoints/converter are unaffected.
+    ``DYNAMO_SPLIT_CONCAT=concat`` opts back into the materialized concat.
+    """
+
+    out: int
+    kernel: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, a, b):
+        p = prec(self.dtype)
+        pad = (self.kernel - 1) // 2
+        cin = a.shape[-1] + b.shape[-1]
+        w = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.kernel, self.kernel, cin, self.out), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.out,), jnp.float32)
+        w = w.astype(self.dtype)
+        ca = a.shape[-1]
+
+        def conv(x, wk):
+            return jax.lax.conv_general_dilated(
+                x.astype(self.dtype), wk, window_strides=(1, 1),
+                padding=((pad, pad), (pad, pad)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=p,
+            )
+
+        if os.environ.get("DYNAMO_SPLIT_CONCAT") == "concat":
+            x = jnp.concatenate([a, b], axis=-1)
+            return conv(x, w) + bias.astype(self.dtype)
+        return conv(a, w[:, :, :ca]) + conv(b, w[:, :, ca:]) + bias.astype(self.dtype)
 
 
 class MotionDecoder(nn.Module):
@@ -55,18 +105,16 @@ class MotionDecoder(nn.Module):
             feat = pyramid[-1 - ii]
             h, w = feat.shape[1], feat.shape[2]
             up = resize_bilinear(field, (h, w))
-            x = jnp.concatenate([up, feat], axis=-1)
-            c1 = nn.Conv(
-                feat.shape[-1], (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
-                precision=p, name=f"refine_conv{ii}_0",
-            )(x)
+            c1 = _ConcatConv(
+                feat.shape[-1], kernel=3, dtype=self.dtype, name=f"refine_conv{ii}_0",
+            )(up, feat)
             c2 = nn.Conv(
                 feat.shape[-1], (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
                 precision=p, name=f"refine_conv{ii}_1",
             )(c1)
-            red = nn.Conv(self.out_dim, (1, 1), dtype=self.dtype, precision=p, name=f"refine_redu{ii}")(
-                jnp.concatenate([c1, c2], axis=-1)
-            )
+            red = _ConcatConv(
+                self.out_dim, kernel=1, dtype=self.dtype, name=f"refine_redu{ii}",
+            )(c1, c2)
             field = red + up
             per_level[ii] = field
 

@@ -32,15 +32,40 @@ _BOTTLENECK = {18: False, 34: False, 50: True, 101: True, 152: True}
 
 
 def max_pool_3x3_s2(x):
-    """torch MaxPool2d(kernel_size=3, stride=2, padding=1) on NHWC."""
-    return jax.lax.reduce_window(
-        x,
-        -jnp.inf,
-        jax.lax.max,
-        window_dimensions=(1, 3, 3, 1),
-        window_strides=(1, 2, 2, 1),
-        padding=((0, 0), (1, 1), (1, 1), (0, 0)),
-    )
+    """torch MaxPool2d(kernel_size=3, stride=2, padding=1) on NHWC.
+
+    ``DYNAMO_MAXPOOL`` selects the lowering (default ``reduce_window``;
+    ``slices`` = nine strided-slice maxes). Measured in-step on the v5e
+    (BENCH.md round-2 formulation study): the slice form was the single
+    largest loser — its stride-2 taps and the backward scatter-as-pad ops
+    don't fuse, costing +9.7 ms/step across the pose/motion ResNet encoders
+    (plus ~3 ms of unattributed backward pads) — so reduce_window stays the
+    default, unlike the stride-1 SSIM pool where shifted adds win.
+    """
+    import os
+
+    if os.environ.get("DYNAMO_MAXPOOL", "reduce_window") != "slices":
+        return jax.lax.reduce_window(
+            x,
+            -jnp.inf,
+            jax.lax.max,
+            window_dimensions=(1, 3, 3, 1),
+            window_strides=(1, 2, 2, 1),
+            padding=((0, 0), (1, 1), (1, 1), (0, 0)),
+        )
+    B, H, W, C = x.shape
+    Ho, Wo = (H + 1) // 2, (W + 1) // 2
+    neg = jnp.asarray(-jnp.inf, x.dtype)
+    xp = jnp.pad(x, ((0, 0), (1, 2), (1, 2), (0, 0)), constant_values=neg)
+    out = None
+    for i in range(3):
+        for j in range(3):
+            tap = jax.lax.slice(
+                xp, (0, i, j, 0), (B, i + 2 * Ho - 1, j + 2 * Wo - 1, C),
+                strides=(1, 2, 2, 1),
+            )
+            out = tap if out is None else jnp.maximum(out, tap)
+    return out
 
 
 def _bn(dtype, name):

@@ -61,15 +61,22 @@ def grid_sample(image, grid):
     def one(img, st):
         return jax.lax.gather(img, st, dnums, slice_sizes=sizes)  # (P, 2, 2, C)
 
-    taps = jax.vmap(one)(image, starts).reshape(B, Ho, Wo, sizes[0], sizes[1], C)
-    v00 = taps[:, :, :, 0, 0]
-    v01 = taps[:, :, :, 0, -1]
-    v10 = taps[:, :, :, -1, 0]
-    v11 = taps[:, :, :, -1, -1]
+    # Lerp in the gather result's own (B, P, 2, 2, C) space: reshaping the
+    # raw taps to (B, Ho, Wo, 2, 2, C) first is not layout-preserving and
+    # costs a ~1 ms re-tiling copy of the full 2x2xC tap tensor per warp
+    # (6x/step); only the C-sized lerp output is reshaped (profiled on v5e,
+    # BENCH.md).
+    taps = jax.vmap(one)(image, starts)  # (B, P, 2, 2, C)
+    v00 = taps[:, :, 0, 0]
+    v01 = taps[:, :, 0, -1]
+    v10 = taps[:, :, -1, 0]
+    v11 = taps[:, :, -1, -1]
 
-    top = v00 + (v01 - v00) * wx
-    bot = v10 + (v11 - v10) * wx
-    return top + (bot - top) * wy
+    wxf = wx.reshape(B, P, 1)
+    wyf = wy.reshape(B, P, 1)
+    top = v00 + (v01 - v00) * wxf
+    bot = v10 + (v11 - v10) * wxf
+    return (top + (bot - top) * wyf).reshape(B, Ho, Wo, C)
 
 
 def resize_bilinear(x, out_hw):

@@ -508,7 +508,12 @@ class Trainer:
 
     def predict(self, batch: Dict, bool_CmpFlow=False, bool_MotMask=False) -> Dict:
         """Jitted eval-mode forward for the eval CLIs (batch: numpy dict with
-        ('color_aug', f, 0) keys at least)."""
+        ('color_aug', f, 0) keys at least).
+
+        The batch dimension is sharded over the trainer mesh; a batch whose
+        leading dim is not divisible by the mesh size is transparently padded
+        (repeating the last item) and the outputs sliced back, so callers
+        like eval/visualize.py's single-frame batches work on any mesh."""
         key = (bool_CmpFlow, bool_MotMask)
         if key not in self._predict_cache:
             model = self.model
@@ -521,8 +526,17 @@ class Trainer:
                 )
 
             self._predict_cache[key] = fwd
-        batch = {k: v for k, v in batch.items() if isinstance(k, tuple) and k[0] == "color_aug"}
-        return self._predict_cache[key](self.variables, self.put_batch(batch))
+        batch = {k: np.asarray(v) for k, v in batch.items()
+                 if isinstance(k, tuple) and k[0] == "color_aug"}
+        n = next(iter(batch.values())).shape[0]
+        pad = (-n) % self.n_dev
+        if pad:
+            batch = {k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
+                     for k, v in batch.items()}
+        out = self._predict_cache[key](self.variables, self.put_batch(batch))
+        if pad:
+            out = jax.tree.map(lambda x: x[:n], out)
+        return out
 
     def depth_metrics(self, inputs: Dict, outputs: Dict, mask_pts=None, labels=None,
                       sample_weight=None) -> Dict:

@@ -50,6 +50,11 @@ def main():
     out = []
 
     trainer = Trainer(cfg)
+    # Global eval batch, rounded up to a mesh-divisible size: predict and
+    # depth_metrics shard the batch dim over the data mesh, so the loader's
+    # static batch must split evenly across devices (the reference treats
+    # eval batch_size as global on one GPU, eval/depth.py:52-56).
+    eval_bs = -(-cfg.batch_size // trainer.n_dev) * trainer.n_dev
     metric_names = list(DEPTH_METRIC_NAMES)
     header = display_str(["Split"] + metric_names)
     out.append(f"====== Model Path - {cfg.load_ckpt} ======\n")
@@ -66,21 +71,21 @@ def main():
     totals = {m: 0.0 for m in metric_names}
     total_num = 0
     for bi, (batch, real_idxs) in enumerate(
-        padded_eval_batches(dataset, cfg.batch_size, cfg.num_workers)
+        padded_eval_batches(dataset, eval_bs, cfg.num_workers)
     ):
         real = len(real_idxs)
         outputs = dict(trainer.predict(batch))
         outputs[("disp_scaled", 0, 0)], _ = disp_to_depth(
             outputs[("disp", 0, 0)], cfg.min_depth, cfg.max_depth
         )
-        weight = np.zeros((cfg.batch_size,), np.float32)
+        weight = np.zeros((eval_bs,), np.float32)
         weight[:real] = 1.0
         met = trainer.depth_metrics(batch, outputs, sample_weight=weight)
         for m in metric_names:
             totals[m] += float(met[m]) * real
         total_num += real
         if bi % 50 == 0:
-            print(f"(1/2) depth eval {bi * cfg.batch_size}/{len(dataset)}", flush=True)
+            print(f"(1/2) depth eval {bi * eval_bs}/{len(dataset)}", flush=True)
 
     out.append(display_str(["OVERALL"] + ["& {:.3f}".format(totals[m] / total_num) for m in metric_names]))
     out.append("\n")
@@ -100,14 +105,14 @@ def main():
         labels = {"bg": 0, "static": 2, "mot": 1}
         agg = {split: {m: [0.0, 0.0] for m in metric_names} for split in labels}
         for bi, (batch, real_idxs) in enumerate(
-            padded_eval_batches(dataset, cfg.batch_size, cfg.num_workers)
+            padded_eval_batches(dataset, eval_bs, cfg.num_workers)
         ):
             real = len(real_idxs)
             outputs = dict(trainer.predict(batch))
             outputs[("disp_scaled", 0, 0)], _ = disp_to_depth(
                 outputs[("disp", 0, 0)], cfg.min_depth, cfg.max_depth
             )
-            weight = np.zeros((cfg.batch_size,), np.float32)
+            weight = np.zeros((eval_bs,), np.float32)
             weight[:real] = 1.0
             mask_pts = sample_mask_at_points(batch["mot_mask"], batch["depth_gt"])
             met = trainer.depth_metrics(
@@ -120,7 +125,7 @@ def main():
                     agg[split][m][0] += float(s)
                     agg[split][m][1] += float(c)
             if bi % 50 == 0:
-                print(f"(2/2) mask depth eval {bi * cfg.batch_size}/{len(dataset)}", flush=True)
+                print(f"(2/2) mask depth eval {bi * eval_bs}/{len(dataset)}", flush=True)
 
         for split in labels:
             out.append(display_str(

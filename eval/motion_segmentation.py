@@ -42,6 +42,8 @@ def main():
     fp_tally_path = osp.join(outdir, f"fp_tally_{ckpt_name}.pdf")
 
     trainer = Trainer(cfg)
+    # Mesh-divisible global eval batch (see eval/depth.py).
+    eval_bs = -(-cfg.batch_size // trainer.n_dev) * trainer.n_dev
 
     filenames = read_split(cfg.split, "test_mask")
     filenames = [f for f in filenames if not is_edge(f, cfg)]
@@ -63,11 +65,11 @@ def main():
     thrds_dev = jnp.asarray(thrds)
     need_pred_host = cfg.dataset == "waymo"  # pass 2 reuses per-image preds
 
-    for bi, (batch, real_idxs) in enumerate(padded_eval_batches(dataset, cfg.batch_size, cfg.num_workers)):
+    for bi, (batch, real_idxs) in enumerate(padded_eval_batches(dataset, eval_bs, cfg.num_workers)):
         outputs = trainer.predict(batch, bool_CmpFlow=True, bool_MotMask=True)
         pred = resize_bilinear(outputs[("motion_mask", -1, 0)], (full_h, full_w))[..., 0]
         gt = trainer.put_batch({"mot_mask": batch["mot_mask"]})["mot_mask"]
-        weight = np.zeros((cfg.batch_size,), np.float32)
+        weight = np.zeros((eval_bs,), np.float32)
         weight[: len(real_idxs)] = 1.0
         tp, fp, fn = pr_sweep_counts(pred, gt, thrds_dev, jnp.asarray(weight))
         record["tp"] += np.asarray(tp, np.float64)
@@ -79,7 +81,7 @@ def main():
             for ii, ind in enumerate(real_idxs):
                 motion_pred[ind] = pred_host[ii]
         if bi % 20 == 0:
-            print(f"(1/2) thresholds {bi * cfg.batch_size}/{len(dataset)}", flush=True)
+            print(f"(1/2) thresholds {bi * eval_bs}/{len(dataset)}", flush=True)
 
     precision = record["tp"] / (record["tp"] + record["fp"] + 1e-10)
     recall = record["tp"] / (record["tp"] + record["fn"] + 1e-10)
@@ -108,7 +110,7 @@ def main():
     if cfg.dataset == "waymo":  # waymo has semantic labels, nuscenes does not
         best_f1_thrd = float(thrds[int(np.argmax(f1))])
         fp_tally = {"total": 0}
-        for bi, (batch, real_idxs) in enumerate(padded_eval_batches(dataset, cfg.batch_size, cfg.num_workers)):
+        for bi, (batch, real_idxs) in enumerate(padded_eval_batches(dataset, eval_bs, cfg.num_workers)):
             for ii, ind in enumerate(real_idxs):
                 gt_b = batch["mot_mask"][ii] == 1
                 valid_b = batch["mot_mask"][ii] != 3
@@ -119,7 +121,7 @@ def main():
                     fp_tally[label] = fp_tally.get(label, 0) + count
                     fp_tally["total"] += count
             if bi % 20 == 0:
-                print(f"(2/2) fp tally {bi * cfg.batch_size}/{len(dataset)}", flush=True)
+                print(f"(2/2) fp tally {bi * eval_bs}/{len(dataset)}", flush=True)
 
         from dynamo_depth_tpu.data.categories import WAYMO_CATEGORIES
 

@@ -54,12 +54,14 @@ def eval_odom(cfg, trainer, segment, track_length):
     filenames = [f for f in get_filenames(segment, cfg) if not is_edge(f, cfg)]
     dataset = trainer.get_dataset(filenames, is_train=False, img_type=cfg.eval_img_type)
     N = len(filenames)
+    # Mesh-divisible global eval batch (see eval/depth.py).
+    eval_bs = -(-cfg.batch_size // trainer.n_dev) * trainer.n_dev
 
     # Batched pose prediction (the reference runs batch-size-1 frame-by-frame,
     # odometry.py:44-68): frames of the segment fill static-shape padded
     # batches, mesh-sharded by trainer.predict.
     pred_poses = np.zeros((N, 4, 4), np.float64)
-    for batch, real_idxs in padded_eval_batches(dataset, cfg.batch_size, cfg.num_workers):
+    for batch, real_idxs in padded_eval_batches(dataset, eval_bs, cfg.num_workers):
         outputs = trainer.predict(batch, bool_CmpFlow=False, bool_MotMask=False)
         aa = outputs[("axisangle", 0, 1)]
         tr = outputs[("translation", 0, 1)]

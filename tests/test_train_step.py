@@ -129,6 +129,21 @@ def test_loss_decreases_under_repeated_steps(trainer):
     assert last < first
 
 
+def test_predict_pads_non_mesh_divisible_batch(trainer):
+    """eval/visualize.py predicts single-item batches; on a multi-device mesh
+    the batch dim must be padded to shard (regression: device_put used to
+    raise 'global size ... should be divisible by 2')."""
+    full = synthetic_batch(trainer.cfg, 2)
+    out2 = trainer.predict(full)
+    one = {k: v[:1] for k, v in full.items()}
+    out1 = trainer.predict(one)
+    for k, v in out1.items():
+        assert v.shape[0] == 1, (k, v.shape)
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(out2[k][:1]), atol=1e-6, rtol=1e-6,
+        )
+
+
 class _FakeWandb:
     """wandb facsimile for exercising the logging path (wandb absent in env)."""
 
