@@ -16,28 +16,17 @@ covers the antialiased bicubic pyramid resize (``Trainer.py:729-734``,
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 
-def grid_sample(image, grid):
-    """Bilinear sampling with border padding and align_corners=True.
-
-    The four bilinear taps are (y0, y0+1) x (x0, x0+1) — a contiguous
-    ``(2, 2, C)`` patch — so they are fetched with ONE ``lax.gather`` of
-    2x2xC slices instead of four pointwise gathers. Gather cost on TPU is
-    slice-count-bound (measured: 4x1-row taps 22.0 ms vs 1x4-row patches
-    18.6 ms for six KITTI frames, identical values bit-for-bit), and the
-    train step's gathers are its single largest op cost (BENCH.md).
-
-    :param image: ``(B, H, W, C)``
-    :param grid:  ``(B, Ho, Wo, 2)`` normalized coords in [-1, 1], last dim (x, y)
-    :return:      ``(B, Ho, Wo, C)``
-    """
+def _sample_coords(image, grid):
+    """Shared coordinate math: unnormalize (align_corners=True), clamp the
+    coordinate itself (border padding semantics), split into integer tap
+    origin and fractional lerp weight."""
     B, H, W, C = image.shape
-    _, Ho, Wo, _ = grid.shape
-    P = Ho * Wo
-
     # Unnormalize (align_corners=True) then clamp the coordinate itself
     # (border padding semantics).
     gx = (grid[..., 0] + 1.0) * 0.5 * (W - 1)
@@ -47,8 +36,46 @@ def grid_sample(image, grid):
 
     x0 = jnp.clip(jnp.floor(gx), 0, max(W - 2, 0))
     y0 = jnp.clip(jnp.floor(gy), 0, max(H - 2, 0))
-    wx = (gx - x0)[..., None]  # in [0, 1]; == 1 at the right border
-    wy = (gy - y0)[..., None]
+    wx = gx - x0  # in [0, 1]; == 1 at the right border
+    wy = gy - y0
+    return x0, y0, wx, wy
+
+
+def grid_sample(image, grid):
+    """Bilinear sampling with border padding and align_corners=True.
+
+    Reproduces ``F.grid_sample(..., padding_mode='border',
+    align_corners=True)`` (``Trainer.py:281``) exactly, values and both
+    gradients. Two formulations, selected by ``DYNAMO_WARP``:
+
+    - ``halo`` (default): haloed space-to-depth gather — ONE pointwise
+      (1, 1, 16C) gather per sample from a repacked operand (see
+      ``_halo_pack``). On the v5e one cell read touches 1 tile instead of
+      the 4 tiles a (2, 2, C) patch spans (the operand layout keeps C on
+      lanes, so every pixel is its own tile), cutting the tile reads of
+      the step's dominant op 4x. Measured in-step: 137.7 -> 114.3 ms
+      (bf16 batch 3, +20.5% throughput; BENCH.md round-2 warp study).
+    - ``patch``: one ``lax.gather`` of the contiguous (2, 2, C) bilinear
+      patch per sample — the earlier round-2 winner over four pointwise
+      gathers (22.0 -> 18.6 ms for six KITTI frames), kept as the measured
+      reference formulation.
+
+    :param image: ``(B, H, W, C)``
+    :param grid:  ``(B, Ho, Wo, 2)`` normalized coords in [-1, 1], last dim (x, y)
+    :return:      ``(B, Ho, Wo, C)``
+    """
+    H, W = image.shape[1], image.shape[2]
+    mode = os.environ.get("DYNAMO_WARP", "halo")
+    if mode == "halo" and H >= 2 and W >= 2:
+        return _grid_sample_halo(image, grid)
+    return _grid_sample_patch(image, grid)
+
+
+def _grid_sample_patch(image, grid):
+    B, H, W, C = image.shape
+    _, Ho, Wo, _ = grid.shape
+    P = Ho * Wo
+    x0, y0, wx, wy = _sample_coords(image, grid)
 
     starts = jnp.stack(
         [y0.reshape(B, P), x0.reshape(B, P)], axis=-1
@@ -77,6 +104,69 @@ def grid_sample(image, grid):
     top = v00 + (v01 - v00) * wxf
     bot = v10 + (v11 - v10) * wxf
     return (top + (bot - top) * wyf).reshape(B, Ho, Wo, C)
+
+
+def _halo_pack(image):
+    """Repack ``(B, H, W, C)`` into ``(B, ceil(H/2), ceil(W/2), 16C)`` cells.
+
+    Cell (i, j) holds the 4x4 pixel window rows ``2i-1 .. 2i+2`` x cols
+    ``2j-1 .. 2j+2`` (edge-clamped), flattened minor-to-major as
+    ``(row, col, C)``. Every bilinear tap origin (y0, x0) with
+    ``y0 <= H-2, x0 <= W-2`` lies fully inside the window of exactly one
+    cell: ``(i, j) = ((y0+1)//2, (x0+1)//2)``, at window offset
+    ``((y0+1)%2, (x0+1)%2)``. The packed tensor is 4x the image bytes,
+    built once per warp with 16 stride-2 slices of the padded image.
+    """
+    B, H, W, C = image.shape
+    Hc, Wc = (H + 1) // 2, (W + 1) // 2
+    xp = jnp.pad(image, ((0, 0), (1, 2), (1, 2), (0, 0)), mode="edge")
+    taps = []
+    for r in range(4):
+        for c in range(4):
+            taps.append(jax.lax.slice(
+                xp, (0, r, c, 0), (B, r + 2 * Hc - 1, c + 2 * Wc - 1, C),
+                strides=(1, 2, 2, 1),
+            ))
+    return jnp.concatenate(taps, axis=-1)  # (B, Hc, Wc, 16C)
+
+
+def _grid_sample_halo(image, grid):
+    B, H, W, C = image.shape
+    _, Ho, Wo, _ = grid.shape
+    P = Ho * Wo
+    x0, y0, wx, wy = _sample_coords(image, grid)
+
+    packed = _halo_pack(image)  # (B, Hc, Wc, 16C)
+    Hc, Wc = packed.shape[1], packed.shape[2]
+
+    ty = (y0.reshape(B, P) + 1.0).astype(jnp.int32)
+    tx = (x0.reshape(B, P) + 1.0).astype(jnp.int32)
+    ci, sy = ty // 2, ty % 2  # cell row, window row offset of the tap origin
+    cj, sx = tx // 2, tx % 2
+
+    starts = jnp.stack([ci, cj], axis=-1)  # (B, P, 2)
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(0, 1), start_index_map=(0, 1),
+    )
+
+    def one(img, st):
+        return jax.lax.gather(img, st, dnums, slice_sizes=(1, 1, 16 * C))  # (P, 16C)
+
+    cells = jax.vmap(one)(packed, starts).reshape(B, P, 4, 4, C)
+
+    # Window-row/col weights: the bilinear pair (origin s, s+1) with weights
+    # (1-w, w) scattered onto the 4 window positions via one-hot compares.
+    r4 = jnp.arange(4, dtype=jnp.int32)
+    wyf = wy.reshape(B, P, 1)
+    wxf = wx.reshape(B, P, 1)
+    sy = sy[..., None]
+    sx = sx[..., None]
+    wrow = jnp.where(r4 == sy, 1.0 - wyf, 0.0) + jnp.where(r4 == sy + 1, wyf, 0.0)
+    wcol = jnp.where(r4 == sx, 1.0 - wxf, 0.0) + jnp.where(r4 == sx + 1, wxf, 0.0)
+
+    rows = jnp.sum(cells * wrow[:, :, :, None, None], axis=2)  # (B, P, 4, C)
+    out = jnp.sum(rows * wcol[:, :, :, None], axis=2)  # (B, P, C)
+    return out.reshape(B, Ho, Wo, C)
 
 
 def resize_bilinear(x, out_hw):

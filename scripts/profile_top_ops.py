@@ -1,11 +1,17 @@
 """Summarize a jax.profiler trace: top self-time ops on the device.
 
-Usage: python scripts/profile_top_ops.py /tmp/prof_b3 [N]
+Usage: python scripts/profile_top_ops.py /tmp/prof_b3 [N] [--by-module]
 
 Parses the trace-viewer JSON (<dir>/plugins/profile/<run>/*.trace.json.gz)
 and prints the top-N device ops by total duration, plus a fused-op category
 rollup — the "name the top time sinks" evidence for BENCH.md (round-1
 VERDICT item 4).
+
+``--by-module`` instead rolls device time up by the op's jax scope path
+(the trace's ``tf_op`` metadata — e.g. ``DynamoModel.predict_depths/
+depth_enc/stem1_1``), separating forward (``jvp``) from backward
+(``transpose(jvp)``). This is the "tf_op rollup" BENCH.md's per-module
+attributions (formulation studies, model-time breakdown) come from.
 """
 
 import glob
@@ -51,9 +57,43 @@ def classify(name):
     return "other"
 
 
+def rollup_by_module(events, device_pids, tid_name, topn, steps=None):
+    """Group device-op time by jax scope (tf_op metadata), fwd vs bwd.
+
+    ``steps``: if given, also print ms/step (the bench traces hold 50 steps).
+    """
+    by_scope = defaultdict(float)
+    for ev in events:
+        if ev.get("ph") != "X" or ev.get("pid") not in device_pids:
+            continue
+        if "Ops" not in tid_name.get((ev["pid"], ev.get("tid")), ""):
+            continue
+        top = (ev.get("args") or {}).get("tf_op") or ""
+        direction = "bwd" if "transpose" in top else "fwd"
+        m = re.search(
+            r"(predict_(?:depths|motions|poses)/[^/]+(?:/[^/]+)?)", top)
+        if m:
+            comp = m.group(1)
+        else:
+            # strip jit()/jvp()/transpose() wrappers, keep 2 scope levels
+            parts = [p for p in top.split("/")
+                     if p and not re.match(r"(jit|jvp|transpose|vmap)\(", p)]
+            comp = "/".join(parts[:2]) if parts else "<unattributed>"
+        by_scope[(direction, comp)] += ev.get("dur", 0) / 1e3
+    total = sum(by_scope.values())
+    print(f"total device op time: {total:.2f} ms across {len(by_scope)} scopes")
+    per_step = f" ({'ms/step':>8})" if steps else ""
+    print(f"{'ms':>9} {'%':>6}{per_step}  dir scope")
+    for (direction, comp), ms in sorted(by_scope.items(), key=lambda kv: -kv[1])[:topn]:
+        extra = f" ({ms / steps:8.3f})" if steps else ""
+        print(f"{ms:9.3f} {100 * ms / total:6.2f}{extra}  {direction} {comp}")
+
+
 def main():
-    trace_dir = sys.argv[1]
-    topn = int(sys.argv[2]) if len(sys.argv) > 2 else 25
+    argv = [a for a in sys.argv[1:] if a != "--by-module"]
+    by_module = "--by-module" in sys.argv
+    trace_dir = argv[0]
+    topn = int(argv[1]) if len(argv) > 1 else 25
     data = load_trace(trace_dir)
     events = data["traceEvents"]
 
@@ -69,6 +109,11 @@ def main():
 
     device_pids = {p for p, n in pid_name.items()
                    if re.search(r"tpu|device|/device", n, re.I) and "host" not in n.lower()}
+
+    if by_module:
+        # bench.py --profile_dir traces capture 50 profiled steps
+        rollup_by_module(events, device_pids, tid_name, topn, steps=50)
+        return
 
     by_op = defaultdict(float)
     count = defaultdict(int)

@@ -55,6 +55,45 @@ def test_grid_sample_gradients_match_torch(rng):
     np.testing.assert_allclose(np.asarray(gg), tgr.grad.numpy(), atol=1e-4)
 
 
+@pytest.mark.parametrize(
+    "shape",
+    [(2, 9, 13, 3, 7, 11), (1, 5, 7, 2, 4, 6), (3, 8, 16, 3, 8, 16),
+     (1, 2, 2, 1, 3, 3), (2, 11, 6, 4, 5, 5)],
+)
+def test_grid_sample_halo_matches_patch_and_torch(rng, monkeypatch, shape):
+    """The haloed space-to-depth formulation (DYNAMO_WARP=halo) is pinned to
+    the patch-gather formulation AND torch F.grid_sample — values and both
+    gradients — so the knob is purely a perf choice (BENCH.md round-2 warp
+    formulation study; reference op Trainer.py:281)."""
+    B, H, W, C, Ho, Wo = shape
+    img = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32))
+    grid_np = rng.rand(B, Ho, Wo, 2).astype(np.float32) * 2.6 - 1.3
+    grid = jnp.asarray(grid_np)
+
+    def loss(im, gr):
+        return jnp.sum(grid_sample(im, gr) ** 2)
+
+    def run(impl):
+        monkeypatch.setenv("DYNAMO_WARP", impl)
+        y = grid_sample(img, grid)
+        gi, gg = jax.grad(loss, argnums=(0, 1))(img, grid)
+        return np.asarray(y), np.asarray(gi), np.asarray(gg)
+
+    y_h, gi_h, gg_h = run("halo")
+    y_p, gi_p, gg_p = run("patch")
+    np.testing.assert_allclose(y_h, y_p, atol=1e-6)
+    np.testing.assert_allclose(gi_h, gi_p, atol=1e-5)
+    np.testing.assert_allclose(gg_h, gg_p, atol=1e-5)
+
+    tim = _to_nchw(np.asarray(img)).requires_grad_(True)
+    tgr = torch.tensor(grid_np, requires_grad=True)
+    out = F.grid_sample(tim, tgr, padding_mode="border", align_corners=True)
+    (out ** 2).sum().backward()
+    np.testing.assert_allclose(y_h, np.moveaxis(out.detach().numpy(), 1, -1), atol=1e-5)
+    np.testing.assert_allclose(gi_h, np.moveaxis(tim.grad.numpy(), 1, -1), atol=1e-4)
+    np.testing.assert_allclose(gg_h, tgr.grad.numpy(), atol=1e-4)
+
+
 @pytest.mark.parametrize("out_hw", [(6, 10), (17, 23), (9, 13)])
 def test_resize_bilinear_matches_torch(rng, out_hw):
     B, H, W, C = 2, 9, 13, 3
