@@ -46,26 +46,41 @@ def grid_sample(image, grid):
 
     Reproduces ``F.grid_sample(..., padding_mode='border',
     align_corners=True)`` (``Trainer.py:281``) exactly, values and both
-    gradients. Two formulations, selected by ``DYNAMO_WARP``:
+    gradients. Four modes, selected by ``DYNAMO_WARP``:
 
-    - ``halo`` (default): haloed space-to-depth gather — ONE pointwise
-      (1, 1, 16C) gather per sample from a repacked operand (see
-      ``_halo_pack``). On the v5e one cell read touches 1 tile instead of
-      the 4 tiles a (2, 2, C) patch spans (the operand layout keeps C on
-      lanes, so every pixel is its own tile), cutting the tile reads of
-      the step's dominant op 4x. Measured in-step: 137.7 -> 114.3 ms
-      (bf16 batch 3, +20.5% throughput; BENCH.md round-2 warp study).
+    - ``auto`` (default): ``tappack`` for operands up to ~1M pixels
+      (``B*H*W <= 2**20``), ``halo`` above. Both were A/B-measured in-step
+      on the v5e at 192x640 (BENCH.md round-2 warp study): tappack wins at
+      batch 3 (97.7 vs 114.3 ms) and batch 8 (220.5 vs 276.6 ms), halo
+      wins at batch 16 (569.4 vs 683.6 ms) — past ~1M pixels the 4x packed
+      operand plus its rematerialized backward stops fitting the on-chip
+      working set and tappack's lighter lerp no longer pays for the
+      traffic.
+    - ``tappack``: pack each pixel's OWN edge-clamped 2x2 patch into
+      ``(B, H, W, 4C)`` (4 shifted views, one concat), so every bilinear
+      sample is ONE pointwise (1, 1, 4C) gather touching a single tile
+      row, followed by a direct 2x2 lerp — the one-hot window lerp
+      ``halo`` needs costs more than its denser-lane reads save.
+    - ``halo``: haloed space-to-depth gather — ONE pointwise (1, 1, 16C)
+      gather per sample from ``(B, ceil(H/2), ceil(W/2), 16C)`` cells of
+      4x4 windows (see ``_halo_pack``), then a 4x4 one-hot row/col lerp.
+      First formulation to hit 1 tile read per sample (137.7 -> 114.3 ms
+      over ``patch``).
     - ``patch``: one ``lax.gather`` of the contiguous (2, 2, C) bilinear
-      patch per sample — the earlier round-2 winner over four pointwise
-      gathers (22.0 -> 18.6 ms for six KITTI frames), kept as the measured
-      reference formulation.
+      patch per sample (4 tile rows at C=3 lanes each) — the earlier
+      round-2 winner over four pointwise gathers (22.0 -> 18.6 ms for six
+      KITTI frames), kept as the unpacked reference formulation.
 
     :param image: ``(B, H, W, C)``
     :param grid:  ``(B, Ho, Wo, 2)`` normalized coords in [-1, 1], last dim (x, y)
     :return:      ``(B, Ho, Wo, C)``
     """
-    H, W = image.shape[1], image.shape[2]
-    mode = os.environ.get("DYNAMO_WARP", "halo")
+    B, H, W = image.shape[0], image.shape[1], image.shape[2]
+    mode = os.environ.get("DYNAMO_WARP", "auto")
+    if mode == "auto":
+        mode = "tappack" if B * H * W <= 2**20 else "halo"
+    if mode == "tappack" and H >= 2 and W >= 2:
+        return _grid_sample_tappack(image, grid)
     if mode == "halo" and H >= 2 and W >= 2:
         return _grid_sample_halo(image, grid)
     return _grid_sample_patch(image, grid)
@@ -167,6 +182,43 @@ def _grid_sample_halo(image, grid):
     rows = jnp.sum(cells * wrow[:, :, :, None, None], axis=2)  # (B, P, 4, C)
     out = jnp.sum(rows * wcol[:, :, :, None], axis=2)  # (B, P, C)
     return out.reshape(B, Ho, Wo, C)
+
+
+def _grid_sample_tappack(image, grid):
+    """Production formulation below ~1M operand pixels (``auto``): pack
+    each pixel's OWN 2x2 edge-clamped patch into ``(B, H, W, 4C)`` (4
+    shifted views, one concat), so tap origin (y0, x0) is one pointwise
+    (1, 1, 4C) gather at (y0, x0) followed by a direct 2x2 lerp — no
+    one-hot window weights. Same packed bytes as ``_halo_pack`` (4x the
+    image) but a plain lerp consumer; measured in-step 97.7 vs halo's
+    114.3 ms at batch 3, 220.5 vs 276.6 at batch 8 (BENCH.md)."""
+    B, H, W, C = image.shape
+    _, Ho, Wo, _ = grid.shape
+    P = Ho * Wo
+    x0, y0, wx, wy = _sample_coords(image, grid)
+
+    xp = jnp.pad(image, ((0, 0), (0, 1), (0, 1), (0, 0)), mode="edge")
+    packed = jnp.concatenate(
+        [xp[:, r:r + H, c:c + W] for r in (0, 1) for c in (0, 1)], axis=-1
+    )  # (B, H, W, 4C): [v00, v01, v10, v11] per pixel
+
+    starts = jnp.stack(
+        [y0.reshape(B, P), x0.reshape(B, P)], axis=-1
+    ).astype(jnp.int32)
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(0, 1), start_index_map=(0, 1),
+    )
+
+    def one(img, st):
+        return jax.lax.gather(img, st, dnums, slice_sizes=(1, 1, 4 * C))  # (P, 4C)
+
+    taps = jax.vmap(one)(packed, starts).reshape(B, P, 4, C)
+    v00, v01, v10, v11 = taps[:, :, 0], taps[:, :, 1], taps[:, :, 2], taps[:, :, 3]
+    wxf = wx.reshape(B, P, 1)
+    wyf = wy.reshape(B, P, 1)
+    top = v00 + (v01 - v00) * wxf
+    bot = v10 + (v11 - v10) * wxf
+    return (top + (bot - top) * wyf).reshape(B, Ho, Wo, C)
 
 
 def resize_bilinear(x, out_hw):

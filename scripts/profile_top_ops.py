@@ -1,11 +1,17 @@
 """Summarize a jax.profiler trace: top self-time ops on the device.
 
-Usage: python scripts/profile_top_ops.py /tmp/prof_b3 [N] [--by-module]
+Usage: python scripts/profile_top_ops.py /tmp/prof_b3 [N] [--by-module|--copies]
 
 Parses the trace-viewer JSON (<dir>/plugins/profile/<run>/*.trace.json.gz)
 and prints the top-N device ops by total duration, plus a fused-op category
 rollup — the "name the top time sinks" evidence for BENCH.md (round-1
 VERDICT item 4).
+
+``--copies`` lists the top explicit layout-change ops (copy/transpose/
+bitcast) with their jax scope and full HLO line — the source/destination
+tile layouts (``{perm:T(8,128)}``) show exactly which re-tiling XLA
+inserted and between which producer/consumer (BENCH.md tile-occupancy
+analysis evidence).
 
 ``--by-module`` instead rolls device time up by the op's jax scope path
 (the trace's ``tf_op`` metadata — e.g. ``DynamoModel.predict_depths/
@@ -89,9 +95,38 @@ def rollup_by_module(events, device_pids, tid_name, topn, steps=None):
         print(f"{ms:9.3f} {100 * ms / total:6.2f}{extra}  {direction} {comp}")
 
 
+def rollup_copies(events, device_pids, tid_name, topn, steps=None):
+    """Top explicit layout-change ops with scope + HLO layout detail."""
+    by = defaultdict(lambda: [0.0, 0, "", ""])
+    for ev in events:
+        if ev.get("ph") != "X" or ev.get("pid") not in device_pids:
+            continue
+        if "Ops" not in tid_name.get((ev["pid"], ev.get("tid")), ""):
+            continue
+        name = ev.get("name", "")
+        if not (name.startswith("copy") or "transpose" in name
+                or name.startswith("bitcast")):
+            continue
+        args = ev.get("args") or {}
+        rec = by[name]
+        rec[0] += ev.get("dur", 0) / 1e3
+        rec[1] += 1
+        rec[2] = (args.get("tf_op") or "")[:90]
+        rec[3] = (args.get("long_name") or args.get("hlo_op") or "")[:150]
+    total = sum(v[0] for v in by.values())
+    print(f"total explicit copy/transpose: {total:.2f} ms"
+          + (f" ({total / steps:.2f} ms/step)" if steps else ""))
+    for name, (ms, n, scope, hlo) in sorted(by.items(), key=lambda kv: -kv[1][0])[:topn]:
+        per = f" ({ms / steps:6.3f}/step)" if steps else ""
+        print(f"{ms:8.2f} ms{per} n={n:3d} {name:26s} {scope}")
+        if hlo:
+            print(f"           {hlo}")
+
+
 def main():
-    argv = [a for a in sys.argv[1:] if a != "--by-module"]
+    argv = [a for a in sys.argv[1:] if a not in ("--by-module", "--copies")]
     by_module = "--by-module" in sys.argv
+    copies = "--copies" in sys.argv
     trace_dir = argv[0]
     topn = int(argv[1]) if len(argv) > 1 else 25
     data = load_trace(trace_dir)
@@ -113,6 +148,9 @@ def main():
     if by_module:
         # bench.py --profile_dir traces capture 50 profiled steps
         rollup_by_module(events, device_pids, tid_name, topn, steps=50)
+        return
+    if copies:
+        rollup_copies(events, device_pids, tid_name, topn, steps=50)
         return
 
     by_op = defaultdict(float)

@@ -80,10 +80,11 @@ def test_grid_sample_halo_matches_patch_and_torch(rng, monkeypatch, shape):
         return np.asarray(y), np.asarray(gi), np.asarray(gg)
 
     y_h, gi_h, gg_h = run("halo")
-    y_p, gi_p, gg_p = run("patch")
-    np.testing.assert_allclose(y_h, y_p, atol=1e-6)
-    np.testing.assert_allclose(gi_h, gi_p, atol=1e-5)
-    np.testing.assert_allclose(gg_h, gg_p, atol=1e-5)
+    for alt in ("patch", "tappack"):
+        y_p, gi_p, gg_p = run(alt)
+        np.testing.assert_allclose(y_h, y_p, atol=1e-6)
+        np.testing.assert_allclose(gi_h, gi_p, atol=1e-5)
+        np.testing.assert_allclose(gg_h, gg_p, atol=1e-5)
 
     tim = _to_nchw(np.asarray(img)).requires_grad_(True)
     tgr = torch.tensor(grid_np, requires_grad=True)
