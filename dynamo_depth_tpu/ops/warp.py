@@ -222,11 +222,28 @@ def _grid_sample_tappack(image, grid):
 
 
 def resize_bilinear(x, out_hw):
-    """``F.interpolate(mode='bilinear', align_corners=False)`` for NHWC."""
+    """``F.interpolate(mode='bilinear', align_corners=False)`` for NHWC.
+
+    Exact 2x upsamples (every hot call site: the motion-decoder refine
+    pyramid and the scale-1 flow/color upsamples in the loss) take a
+    static-slice fast path (``_upsample2x_bilinear``) whose backward is
+    fused slice-adds instead of the general path's gather + scatter-add
+    (profiled at ~1.2 ms/step backward scatter plus a motion-refine
+    relayout-copy cluster, BENCH.md post-tappack profile).
+    ``DYNAMO_RESIZE=general`` opts back into the one general formulation.
+    """
     B, H, W, C = x.shape
     Ho, Wo = out_hw
     if (Ho, Wo) == (H, W):
         return x
+    mode = os.environ.get("DYNAMO_RESIZE", "auto")
+    if mode in ("up2", "both") and (Ho, Wo) == (2 * H, 2 * W) and H >= 2 and W >= 2:
+        return _upsample2x_bilinear(x)
+    if (
+        mode in ("auto", "down", "both")
+        and Ho <= H and Wo <= W and H % Ho == 0 and W % Wo == 0
+    ):
+        return _downsample_int_bilinear(x, Ho, Wo)
 
     def src_coords(out_n, in_n):
         d = jnp.arange(out_n, dtype=x.dtype)
@@ -242,6 +259,54 @@ def resize_bilinear(x, out_hw):
     rows = x[:, y0, :, :] * (1 - wy)[None, :, None, None] + x[:, y0 + 1, :, :] * wy[None, :, None, None]
     out = rows[:, :, x0, :] * (1 - wx)[None, None, :, None] + rows[:, :, x0 + 1, :] * wx[None, None, :, None]
     return out
+
+
+def _upsample2x_bilinear(x):
+    """Exact 2x ``align_corners=False`` bilinear upsample as static slices.
+
+    With ``s = (d + 0.5) / 2 - 0.5``, even outputs read ``0.75*x[i] +
+    0.25*x[i-1]`` and odd outputs ``0.75*x[i] + 0.25*x[i+1]`` (edges clamp
+    to ``x[0]``/``x[-1]``, reproducing the general path's coordinate clip),
+    interleaved — separable over H then W. Identical to the general
+    formulation to float round-off (pinned by
+    ``tests/test_warp.py::test_upsample2x_bilinear_matches_general``).
+    """
+
+    def up_axis(v, axis):
+        lo = jax.lax.slice_in_dim(v, 0, 1, axis=axis)
+        hi = jax.lax.slice_in_dim(v, v.shape[axis] - 1, v.shape[axis], axis=axis)
+        prv = jnp.concatenate([lo, jax.lax.slice_in_dim(v, 0, v.shape[axis] - 1, axis=axis)], axis)
+        nxt = jnp.concatenate([jax.lax.slice_in_dim(v, 1, v.shape[axis], axis=axis), hi], axis)
+        even = 0.75 * v + 0.25 * prv
+        odd = 0.75 * v + 0.25 * nxt
+        out = jnp.stack([even, odd], axis=axis + 1)
+        return out.reshape(v.shape[: axis] + (2 * v.shape[axis],) + v.shape[axis + 1 :])
+
+    return up_axis(up_axis(x, 1), 2)
+
+
+def _downsample_int_bilinear(x, Ho, Wo):
+    """Integer-factor ``align_corners=False`` bilinear downsample as static
+    taps. For factor ``k``, ``s = (d + 0.5) * k - 0.5`` lands mid-cell: on
+    ``x[k*d + (k-1)/2]`` exactly for odd ``k``, and halfway between
+    ``x[k*d + k/2 - 1]`` and ``x[k*d + k/2]`` for even ``k`` — one reshape
+    plus one or two slices per axis, no gather (and no scatter-add in the
+    backward). Pinned to the general path and torch by
+    ``tests/test_warp.py::test_resize_int_factor_matches_general``."""
+
+    def down_axis(v, axis, k):
+        if k == 1:
+            return v
+        shp = v.shape[:axis] + (v.shape[axis] // k, k) + v.shape[axis + 1 :]
+        v = v.reshape(shp)
+        if k % 2:
+            return jax.lax.index_in_dim(v, (k - 1) // 2, axis + 1, keepdims=False)
+        a = jax.lax.index_in_dim(v, k // 2 - 1, axis + 1, keepdims=False)
+        b = jax.lax.index_in_dim(v, k // 2, axis + 1, keepdims=False)
+        return 0.5 * (a + b)
+
+    B, H, W, C = x.shape
+    return down_axis(down_axis(x, 1, H // Ho), 2, W // Wo)
 
 
 def resize_nearest(x, out_hw):

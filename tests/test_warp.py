@@ -104,6 +104,61 @@ def test_resize_bilinear_matches_torch(rng, out_hw):
     np.testing.assert_allclose(np.asarray(ours), np.moveaxis(gold.numpy(), 1, -1), atol=1e-5)
 
 
+@pytest.mark.parametrize("shape", [(2, 9, 13, 3), (1, 2, 2, 1), (3, 24, 40, 3)])
+def test_upsample2x_bilinear_matches_general(rng, monkeypatch, shape):
+    """The static-slice 2x fast path (BENCH.md: replaces the general path's
+    gather fwd + scatter-add bwd in the motion refine pyramid and loss
+    upsamples) is pinned to the general gather formulation AND torch —
+    values and gradients — so DYNAMO_RESIZE is purely a perf knob."""
+    B, H, W, C = shape
+    img = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32))
+    out_hw = (2 * H, 2 * W)
+
+    def loss(im, mode):
+        monkeypatch.setenv("DYNAMO_RESIZE", mode)
+        return jnp.sum(resize_bilinear(im, out_hw) ** 3)
+
+    monkeypatch.setenv("DYNAMO_RESIZE", "up2")
+    y_fast = resize_bilinear(img, out_hw)
+    g_fast = jax.grad(lambda im: loss(im, "up2"))(img)
+    monkeypatch.setenv("DYNAMO_RESIZE", "general")
+    y_gen = resize_bilinear(img, out_hw)
+    g_gen = jax.grad(lambda im: loss(im, "general"))(img)
+    np.testing.assert_allclose(np.asarray(y_fast), np.asarray(y_gen), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_gen), atol=1e-5)
+
+    gold = F.interpolate(_to_nchw(np.asarray(img)), out_hw, mode="bilinear",
+                         align_corners=False)
+    np.testing.assert_allclose(
+        np.asarray(y_fast), np.moveaxis(gold.numpy(), 1, -1), atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("factors", [(2, 2), (4, 4), (3, 3), (2, 4), (6, 1), (5, 2)])
+def test_resize_int_factor_matches_general(rng, monkeypatch, factors):
+    """The static-tap integer-factor downsample fast path is pinned to the
+    general gather formulation AND torch, values and gradients."""
+    kh, kw = factors
+    B, Ho, Wo, C = 2, 6, 5, 3
+    H, W = Ho * kh, Wo * kw
+    img = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32))
+
+    def run(mode):
+        monkeypatch.setenv("DYNAMO_RESIZE", mode)
+        y = resize_bilinear(img, (Ho, Wo))
+        g = jax.grad(lambda im: jnp.sum(resize_bilinear(im, (Ho, Wo)) ** 3))(img)
+        return np.asarray(y), np.asarray(g)
+
+    y_fast, g_fast = run("auto")
+    y_gen, g_gen = run("general")
+    np.testing.assert_allclose(y_fast, y_gen, atol=1e-6)
+    np.testing.assert_allclose(g_fast, g_gen, atol=1e-5)
+
+    gold = F.interpolate(_to_nchw(np.asarray(img)), (Ho, Wo), mode="bilinear",
+                         align_corners=False)
+    np.testing.assert_allclose(y_fast, np.moveaxis(gold.numpy(), 1, -1), atol=1e-5)
+
+
 @pytest.mark.parametrize("out_hw", [(18, 26), (5, 6)])
 def test_resize_nearest_matches_torch(rng, out_hw):
     B, H, W, C = 2, 9, 13, 3
