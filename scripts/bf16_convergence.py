@@ -176,6 +176,10 @@ def main():
     for dt in args.dtypes:
         print(f"==== training compute_dtype={dt} ====", flush=True)
         results[dt] = run_one(dt, data_root, splits_dir, args)
+        # Per-dtype dump: the axon host-RAM leak forces one-process-per-arm
+        # runs (CLAUDE.md), which must not overwrite each other's history.
+        with open(osp.join(args.out, f"history_{dt}.json"), "w") as f:
+            json.dump(results[dt], f, indent=1)
 
     with open(osp.join(args.out, "history.json"), "w") as f:
         json.dump(results, f, indent=1)
