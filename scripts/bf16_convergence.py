@@ -130,6 +130,23 @@ def run_one(compute_dtype, data_root, splits_dir, args):
             self.history = []
             self._wandb = None
 
+        def _device_prefetch(self, loader):
+            # The axon client leaks host RSS equal to every host->device
+            # transfer (CLAUDE.md), which OOMs multi-thousand-step runs. For
+            # this experiment, transfer only the first N distinct batches per
+            # epoch and cycle them on-device: the leak becomes O(N), and both
+            # dtype arms see literally identical batch streams — a cleaner
+            # matched comparison. N=0 restores the production prefetch path.
+            if args.device_batch_cache <= 0:
+                yield from super()._device_prefetch(loader)
+                return
+            cache, i = [], 0
+            for batch in loader:
+                if len(cache) < args.device_batch_cache:
+                    cache.append(self.put_batch(self._train_keys_only(batch)))
+                yield cache[i % len(cache)]
+                i += 1
+
         def setup_logging(self):
             self._wandb = None
 
@@ -166,6 +183,10 @@ def main():
                     help="learning rate (identical across dtype arms; raise "
                          "to make depth move within a short synthetic budget)")
     ap.add_argument("--dtypes", nargs="+", default=["float32", "bfloat16"])
+    ap.add_argument("--device_batch_cache", type=int, default=0,
+                    help="transfer only this many distinct batches per epoch "
+                         "and cycle them on-device (bounds the axon host-RAM "
+                         "transfer leak; 0 = production prefetch)")
     args = ap.parse_args()
 
     data_root = osp.join(args.out, "data")
