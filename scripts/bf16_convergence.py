@@ -108,18 +108,56 @@ def render_scene(root, W0=640, H0=192):
     return osp.join(root, "splits")
 
 
+PHASE_ORDER = ("disp_init", "motion_init", "mask_init", "fine_tune")
+
+
+def _find_resume(model_dir, epochs):
+    """Latest saved (phase, epoch) under ``model_dir`` -> (ckpt_path,
+    remaining-epochs list, completed optimizer steps). The wedge-prone axon
+    tunnel (CLAUDE.md) can kill an arm mid-curriculum; per-epoch checkpoints
+    make the arm restartable. Note the resumed phase's StepLR restarts from
+    its base LR (the reference's per-phase restart behaves the same way)."""
+    best = None
+    for d in os.listdir(model_dir) if osp.isdir(model_dir) else []:
+        for pi, ph in enumerate(PHASE_ORDER):
+            if d.startswith(ph + "_"):
+                try:
+                    ep = int(d.rsplit("_", 1)[1])
+                except ValueError:
+                    continue
+                if best is None or (pi, ep) > best[:2]:
+                    best = (pi, ep, osp.join(model_dir, d))
+    if best is None:
+        return None, list(epochs), 0
+    pi, ep, path = best
+    remaining = list(epochs)
+    for i in range(pi):
+        remaining[i] = 0
+    remaining[pi] = max(epochs[pi] - (ep + 1), 0)
+    done = sum(epochs[i] for i in range(pi)) + ep + 1
+    return path, remaining, done
+
+
 def run_one(compute_dtype, data_root, splits_dir, args):
     from dynamo_depth_tpu.config import DynamoConfig
     from dynamo_depth_tpu.training.trainer import Trainer
 
     os.environ["DYNAMO_SPLITS_DIR"] = splits_dir
+    model_dir = osp.join(args.out, "logs", f"conv_{compute_dtype}", "models")
+    load_ckpt, epochs, done_epochs = _find_resume(model_dir, args.epochs)
+    base_step = done_epochs * args.steps_per_epoch
+    if load_ckpt:
+        print(f"resuming {compute_dtype} from {load_ckpt} "
+              f"(remaining epochs {epochs})", flush=True)
     cfg = DynamoConfig(
         dataset="kitti", split="synth", data_path=data_root + "/",
         depth_model=args.depth_model, height=args.height, width=args.width,
         batch_size=args.batch_size, compute_dtype=compute_dtype,
-        learning_rate=args.lr,
-        epoch_size=args.steps_per_epoch * args.batch_size,
-        epoch_schedules=args.epochs, log_frequency=args.val_every,
+        learning_rate=args.lr, load_ckpt=load_ckpt or "",
+        # epoch_size counts optimizer STEPS per epoch (the loader draws
+        # global_batch * epoch_size filenames, data/loader.py:28-33).
+        epoch_size=args.steps_per_epoch,
+        epoch_schedules=epochs, log_frequency=args.val_every,
         no_train_vis=True, num_devices=0, num_workers=2,
         log_dir=osp.join(args.out, "logs"), model_name=f"conv_{compute_dtype}",
     )
@@ -154,7 +192,7 @@ def run_one(compute_dtype, data_root, splits_dir, args):
             if mode == "val":
                 rec = {k: float(v) for k, v in losses.items()
                        if np.ndim(v) == 0}
-                rec["g_step"] = int(self.g_step)
+                rec["g_step"] = int(self.g_step) + base_step
                 self.history.append(rec)
                 keys = [k for k in ("de:abs_rel", "de:rms", "da:a1", "loss") if k in rec]
                 print(f"  [val {compute_dtype} step {self.g_step}] "
@@ -199,7 +237,15 @@ def main():
         results[dt] = run_one(dt, data_root, splits_dir, args)
         # Per-dtype dump: the axon host-RAM leak forces one-process-per-arm
         # runs (CLAUDE.md), which must not overwrite each other's history.
-        with open(osp.join(args.out, f"history_{dt}.json"), "w") as f:
+        # On resume, keep the prior process's records up to where this one
+        # started (g_step carries the resume offset).
+        dump_path = osp.join(args.out, f"history_{dt}.json")
+        if osp.exists(dump_path) and results[dt]:
+            with open(dump_path) as f:
+                prev = json.load(f)
+            first = results[dt][0]["g_step"]
+            results[dt] = [r for r in prev if r["g_step"] < first] + results[dt]
+        with open(dump_path, "w") as f:
             json.dump(results[dt], f, indent=1)
 
     with open(osp.join(args.out, "history.json"), "w") as f:
