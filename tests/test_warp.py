@@ -95,6 +95,35 @@ def test_grid_sample_halo_matches_patch_and_torch(rng, monkeypatch, shape):
     np.testing.assert_allclose(gg_h, tgr.grad.numpy(), atol=1e-4)
 
 
+def _gather_slice_sizes(jaxpr):
+    sizes = []
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name == "gather":
+            sizes.append(tuple(eqn.params["slice_sizes"]))
+        for sub in eqn.params.values():
+            if hasattr(sub, "jaxpr"):
+                sizes += _gather_slice_sizes(sub.jaxpr)
+    return sizes
+
+
+def test_grid_sample_auto_dispatch(monkeypatch):
+    """DYNAMO_WARP=auto routes <=2^20-pixel operands to tappack ((1,1,4C)
+    gather) and larger ones to halo ((1,1,16C) cell gather) — the measured
+    crossover from BENCH.md's batch A/B (tappack wins at batch 3/8, halo at
+    batch 16 for 192x640). Pin the dispatch so defaults can't silently flip."""
+    monkeypatch.delenv("DYNAMO_WARP", raising=False)
+    C = 3
+    small = jnp.zeros((1, 32, 32, C))
+    sgrid = jnp.zeros((1, 4, 4, 2))
+    sizes = _gather_slice_sizes(jax.make_jaxpr(grid_sample)(small, sgrid).jaxpr)
+    assert any(s[-1] == 4 * C for s in sizes), sizes  # tappack (1,1,4C)
+
+    big = jnp.zeros((17, 256, 256, C))  # 17*256*256 > 2**20
+    bgrid = jnp.zeros((17, 4, 4, 2))
+    sizes = _gather_slice_sizes(jax.make_jaxpr(grid_sample)(big, bgrid).jaxpr)
+    assert any(s[-1] == 16 * C for s in sizes), sizes  # halo (1,1,16C)
+
+
 @pytest.mark.parametrize("out_hw", [(6, 10), (17, 23), (9, 13)])
 def test_resize_bilinear_matches_torch(rng, out_hw):
     B, H, W, C = 2, 9, 13, 3
