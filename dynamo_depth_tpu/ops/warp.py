@@ -46,7 +46,12 @@ def grid_sample(image, grid):
 
     Reproduces ``F.grid_sample(..., padding_mode='border',
     align_corners=True)`` (``Trainer.py:281``) exactly, values and both
-    gradients. Four modes, selected by ``DYNAMO_WARP``:
+    gradients. Four modes, selected by ``DYNAMO_WARP``.
+
+    NOTE: ``DYNAMO_WARP`` (and ``DYNAMO_RESIZE`` below) are read at TRACE
+    time and jit caches are not keyed on env vars — set them before the
+    first compilation of a train/eval step; flipping them mid-process
+    silently keeps the previously compiled formulation (ADVICE r2).
 
     - ``auto`` (default): ``tappack`` for operands up to ~1M pixels
       (``B*H*W <= 2**20``), ``halo`` above. Both were A/B-measured in-step
@@ -240,7 +245,9 @@ def resize_bilinear(x, out_hw):
     if mode in ("up2", "both") and (Ho, Wo) == (2 * H, 2 * W) and H >= 2 and W >= 2:
         return _upsample2x_bilinear(x)
     if (
-        mode in ("auto", "down", "both")
+        # "up2" opts *into* the 2x-upsample path; it must not opt *out* of
+        # the default-on integer-factor downsample win (ADVICE r2).
+        mode in ("auto", "down", "both", "up2")
         and Ho <= H and Wo <= W and H % Ho == 0 and W % Wo == 0
     ):
         return _downsample_int_bilinear(x, Ho, Wo)

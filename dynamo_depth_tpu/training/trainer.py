@@ -528,6 +528,10 @@ class Trainer:
             self._predict_cache[key] = fwd
         batch = {k: np.asarray(v) for k, v in batch.items()
                  if isinstance(k, tuple) and k[0] == "color_aug"}
+        if not batch:
+            raise ValueError(
+                "predict() needs ('color_aug', <frame>, 0) keys in the batch; "
+                "none were present")
         n = next(iter(batch.values())).shape[0]
         pad = (-n) % self.n_dev
         if pad:

@@ -5,7 +5,6 @@ standard KITTI devkit recipe also used by monodepth2)."""
 from __future__ import annotations
 
 import os.path as osp
-from collections import Counter
 
 import numpy as np
 
@@ -67,13 +66,28 @@ def generate_depth_map(calib_dir, velo_filename, cam=2, vel_depth=False):
     depth = np.zeros(im_shape[:2])
     depth[pts_im[:, 1].astype(np.int64), pts_im[:, 0].astype(np.int64)] = pts_im[:, 2]
 
-    # duplicates -> keep the closest return
+    # Duplicates -> keep the closest return. The KITTI matlab devkit groups
+    # points by the (quirky, collision-prone) key y*(W-1)+x-1 and writes each
+    # group's min depth at the group's FIRST point — reproduced here
+    # vectorized: stable-sort by key, segment-min, write dup groups in
+    # first-occurrence order so any same-pixel write races resolve as the
+    # devkit's insertion-ordered loop did.
     n = depth.shape[1]
     inds = pts_im[:, 1] * (n - 1) + pts_im[:, 0] - 1
-    for dd in [item for item, count in Counter(inds).items() if count > 1]:
-        pts = np.where(inds == dd)[0]
-        x_loc = int(pts_im[pts[0], 0])
-        y_loc = int(pts_im[pts[0], 1])
-        depth[y_loc, x_loc] = pts_im[pts, 2].min()
+    if inds.size:
+        order = np.argsort(inds, kind="stable")
+        sorted_inds = inds[order]
+        is_first = np.r_[True, sorted_inds[1:] != sorted_inds[:-1]]
+        group_of = np.cumsum(is_first) - 1
+        n_groups = int(group_of[-1]) + 1
+        gmin = np.full(n_groups, np.inf)
+        np.minimum.at(gmin, group_of, pts_im[order, 2])
+        counts = np.bincount(group_of, minlength=n_groups)
+        first_pt = order[is_first]  # first occurrence (stable sort) per group
+        dup = counts > 1
+        write_order = np.argsort(first_pt[dup], kind="stable")
+        ys = pts_im[first_pt[dup], 1].astype(np.int64)[write_order]
+        xs = pts_im[first_pt[dup], 0].astype(np.int64)[write_order]
+        depth[ys, xs] = gmin[dup][write_order]
     depth[depth < 0] = 0
     return depth

@@ -94,11 +94,11 @@ def cam_cloud_to_lidar(xyz, extrinsic):
 def depth_overlay(rgb, pts, dot=2, max_depth=75.0, cmap="plasma"):
     """Rasterize the sparse depth annotations over the image — the
     notebook's 2-D QA view. Returns an (H, W, 3) float image."""
-    import matplotlib.cm as cm
+    import matplotlib
 
     out = rgb.copy()
     H, W = rgb.shape[:2]
-    colors = cm.get_cmap(cmap)(np.clip(pts[:, 2] / max_depth, 0, 1))[:, :3]
+    colors = matplotlib.colormaps[cmap](np.clip(pts[:, 2] / max_depth, 0, 1))[:, :3]
     x = pts[:, 0].astype(int)
     y = pts[:, 1].astype(int)
     keep = (x >= 0) & (x < W) & (y >= 0) & (y < H)

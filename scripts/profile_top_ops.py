@@ -145,12 +145,21 @@ def main():
     device_pids = {p for p, n in pid_name.items()
                    if re.search(r"tpu|device|/device", n, re.I) and "host" not in n.lower()}
 
-    if by_module:
-        # bench.py --profile_dir traces capture 50 profiled steps
-        rollup_by_module(events, device_pids, tid_name, topn, steps=50)
-        return
-    if copies:
-        rollup_copies(events, device_pids, tid_name, topn, steps=50)
+    if by_module or copies:
+        # Derive the profiled-step count from the trace's device "Steps"
+        # thread; bench.py --profile_dir traces both timing blocks
+        # (n1=5 + n2=55 = 60 steps), which is the fallback when the trace
+        # carries no step markers.
+        steps = sum(
+            1 for ev in events
+            if ev.get("ph") == "X" and ev.get("pid") in device_pids
+            and tid_name.get((ev["pid"], ev.get("tid")), "") == "Steps"
+        ) or 60
+        print(f"(per-step figures divide by {steps} profiled steps)")
+        if by_module:
+            rollup_by_module(events, device_pids, tid_name, topn, steps=steps)
+        else:
+            rollup_copies(events, device_pids, tid_name, topn, steps=steps)
         return
 
     by_op = defaultdict(float)

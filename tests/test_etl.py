@@ -208,3 +208,73 @@ def test_kitti_etl_end_to_end(tmp_path, rng):
     assert item[("color", 0, 0)].shape == (64, 96, 3)
     assert item["depth_gt"].shape[1] == 3
     assert tuple(item["gt_dim"]) == (H, W)
+
+
+def test_generate_depth_map_dedup_matches_devkit_loop(tmp_path, rng):
+    """The vectorized closest-return dedup in kitti_util.generate_depth_map
+    must reproduce the KITTI matlab devkit's insertion-ordered loop exactly —
+    including its quirky y*(W-1)+x-1 grouping key, whose collisions make two
+    different pixels share a dedup group (reference prepare_data/kitti_util.py
+    inherits this verbatim from monodepth2)."""
+    from kitti_util import generate_depth_map, load_velodyne_points, read_calib_file
+
+    # tiny synthetic calib: identity-ish rectification, small image
+    H, W = 24, 32
+    calib = tmp_path / "calib"
+    calib.mkdir()
+    P = np.array([[20.0, 0, W / 2, 0], [0, 20.0, H / 2, 0], [0, 0, 1, 0]])
+    (calib / "calib_cam_to_cam.txt").write_text(
+        f"S_rect_02: {W:.6e} {H:.6e}\n"
+        "R_rect_00: 1 0 0 0 1 0 0 0 1\n"
+        "P_rect_02: " + " ".join(f"{v:.6e}" for v in P.ravel()) + "\n"
+    )
+    # velo->cam: x fwd -> z fwd axis shuffle
+    R = np.array([[0, -1, 0], [0, 0, -1], [1, 0, 0]], float)
+    (calib / "calib_velo_to_cam.txt").write_text(
+        "R: " + " ".join(map(str, R.ravel())) + "\nT: 0 0 0\n"
+    )
+    # dense cloud so many pixels collect multiple returns (and the quirky
+    # key collides across pixels)
+    n_pts = 4000
+    velo = np.zeros((n_pts, 4), np.float32)
+    velo[:, 0] = rng.uniform(2.0, 30.0, n_pts)      # fwd
+    velo[:, 1] = rng.uniform(-10.0, 10.0, n_pts)    # left
+    velo[:, 2] = rng.uniform(-3.0, 3.0, n_pts)      # up
+    binf = tmp_path / "velo.bin"
+    velo.tofile(binf)
+
+    got = generate_depth_map(str(calib), str(binf), cam=2, vel_depth=True)
+
+    # literal devkit loop (the reference's Counter-based form)
+    from collections import Counter
+
+    cam2cam = read_calib_file(str(calib / "calib_cam_to_cam.txt"))
+    velo2cam_raw = read_calib_file(str(calib / "calib_velo_to_cam.txt"))
+    velo2cam = np.hstack((velo2cam_raw["R"].reshape(3, 3), velo2cam_raw["T"][..., None]))
+    velo2cam = np.vstack((velo2cam, np.array([0, 0, 0, 1.0])))
+    im_shape = cam2cam["S_rect_02"][::-1].astype(np.int32)
+    R_cam2rect = np.eye(4)
+    R_cam2rect[:3, :3] = cam2cam["R_rect_00"].reshape(3, 3)
+    P_velo2im = cam2cam["P_rect_02"].reshape(3, 4) @ R_cam2rect @ velo2cam
+    v = load_velodyne_points(str(binf))
+    v = v[v[:, 0] >= 0, :]
+    pts_im = (P_velo2im @ v.T).T
+    pts_im[:, :2] = pts_im[:, :2] / pts_im[:, 2][..., None]
+    pts_im[:, 2] = v[:, 0]
+    pts_im[:, 0] = np.round(pts_im[:, 0]) - 1
+    pts_im[:, 1] = np.round(pts_im[:, 1]) - 1
+    val = (pts_im[:, 0] >= 0) & (pts_im[:, 1] >= 0)
+    val &= (pts_im[:, 0] < im_shape[1]) & (pts_im[:, 1] < im_shape[0])
+    pts_im = pts_im[val, :]
+    want = np.zeros(im_shape[:2])
+    want[pts_im[:, 1].astype(np.int64), pts_im[:, 0].astype(np.int64)] = pts_im[:, 2]
+    inds = pts_im[:, 1] * (im_shape[1] - 1) + pts_im[:, 0] - 1
+    for dd in [item for item, count in Counter(inds).items() if count > 1]:
+        pts = np.where(inds == dd)[0]
+        want[int(pts_im[pts[0], 1]), int(pts_im[pts[0], 0])] = pts_im[pts, 2].min()
+    want[want < 0] = 0
+
+    # sanity: the fixture actually exercises dup groups AND key collisions
+    cnt = Counter(inds)
+    assert any(c > 1 for c in cnt.values())
+    np.testing.assert_array_equal(got, want)
