@@ -39,21 +39,43 @@ FX_N, FY_N = 0.58, 1.92  # the KITTI loader's normalized intrinsics
 DEPTH_KEYS = ("de:abs_rel", "de:sq_rel", "de:rms", "da:a1", "da:a2", "da:a3")
 
 
-def _texture(rng, a, b):
-    """Smooth deterministic RGB texture over world surface coords (a, b)."""
+def _texture(rng, a, b, octaves=2):
+    """Deterministic RGB texture over world surface coords (a, b).
+
+    ABSOLUTE brightness (no per-frame min/max normalization — the round-2
+    version normalized over each frame's visible range, which made surface
+    brightness flicker between frames, a real photometric inconsistency
+    the loss then had to explain). Multi-octave random-Fourier features
+    give the gradient structure photometric depth learning needs.
+    """
     K = 24
     f = rng.uniform(-3.0, 3.0, (2, K))
     ph = rng.uniform(0, 2 * np.pi, (3, K))
     amp = rng.uniform(0.3, 1.0, (3, K)) / np.sqrt(K)
-    arg = a[..., None] * f[0] + b[..., None] * f[1]  # (..., K)
-    chans = [np.sum(amp[c] * np.cos(2 * np.pi * arg + ph[c]), -1) for c in range(3)]
-    img = np.stack(chans, -1)
-    img = (img - img.min()) / (img.max() - img.min() + 1e-9)
-    return img
+    out, norm = 0.0, 0.0
+    for o in range(octaves):
+        arg = (a[..., None] * f[0] + b[..., None] * f[1]) * (2 ** o)
+        chans = [np.sum(amp[c] * np.cos(2 * np.pi * arg + ph[c]), -1)
+                 for c in range(3)]
+        out = out + np.stack(chans, -1) * (0.6 ** o)
+        norm += 0.6 ** o
+    return np.clip(0.5 + 0.55 * out / norm, 0.0, 1.0)
 
 
-def render_scene(root, W0=640, H0=192):
-    """Write a consistent N_FRAMES-frame KITTI-layout sequence + splits."""
+CORRIDOR_HALF_W = 7.0  # m, side-wall distance from the camera axis
+
+
+def render_scene(root, W0=640, H0=192, dz=DZ, n_frames=N_FRAMES,
+                 corridor=True, gt_stride=3):
+    """Write a consistent n_frames-frame KITTI-layout sequence + splits.
+
+    Geometry: textured ground plane + frontal wall, and (``corridor=True``)
+    two side walls at x = ±CORRIDOR_HALF_W — the side walls put large-
+    parallax structure in the image periphery, which the round-2 two-plane
+    scene lacked (its depth collapsed to near-constant during disp_init;
+    BENCH.md round-3 study). Every surface's depth and texture are exact
+    functions of world coordinates, so all frames are mutually consistent.
+    """
     from PIL import Image
 
     seq = "2011_09_26/2011_09_26_drive_0001_sync"
@@ -62,35 +84,53 @@ def render_scene(root, W0=640, H0=192):
     os.makedirs(osp.join(base, "rgb", "downsample"), exist_ok=True)
     os.makedirs(osp.join(base, "depth"), exist_ok=True)
 
-    rng_g = np.random.RandomState(1)
-    rng_w = np.random.RandomState(2)
+    rng_seed = dict(ground=1, front=2, left=3, right=4)
     u = (np.arange(W0) + 0.5) / W0  # normalized pixel centers
     v = (np.arange(H0) + 0.5) / H0
     uu, vv = np.meshgrid(u, v)
     # Normalized ray directions (x/z, y/z).
     rx = (uu - 0.5) / FX_N
     ry = (vv - 0.5) / FY_N
-    ground = vv > HORIZON
+    eps = 1e-6
+    INF = np.full_like(rx, np.inf)
 
-    for i in range(N_FRAMES):
-        cam_z = i * DZ
-        # Per-pixel camera-frame depth.
-        z_ground = CAM_HEIGHT / np.maximum(ry, 1e-6)
-        z_wall = np.maximum(WALL_Z - cam_z, 1.0)
-        z = np.where(ground, z_ground, z_wall)
-        # World surface coordinates for texturing.
-        wx = rx * z
-        wz = z + cam_z
-        img = np.where(
-            ground[..., None],
-            _texture(rng_g, 0.35 * wx, 0.35 * wz),
-            _texture(rng_w, 0.35 * wx, 0.35 * (ry * z)),
-        )
+    for i in range(n_frames):
+        cam_z = i * dz
+        z_front = np.maximum(WALL_Z - cam_z, 1.0)
+        # Candidate camera-frame depth per surface (inf where ray misses it).
+        surf = {
+            "ground": np.where(ry > eps, CAM_HEIGHT / np.maximum(ry, eps), INF),
+            "front": np.full_like(rx, z_front),
+        }
+        if corridor:
+            surf["left"] = np.where(rx < -eps, CORRIDOR_HALF_W / np.maximum(-rx, eps), INF)
+            surf["right"] = np.where(rx > eps, CORRIDOR_HALF_W / np.maximum(rx, eps), INF)
+        names = list(surf)
+        Z = np.stack([surf[n] for n in names])  # (S, H, W)
+        pick = np.argmin(Z, axis=0)
+        z = np.min(Z, axis=0)
+        # Texture each surface by its own world-coordinate chart.
+        img = np.zeros((H0, W0, 3), np.float32)
+        for k, name in enumerate(names):
+            zs = surf[name]
+            if name == "ground":
+                ta, tb = rx * zs, zs + cam_z            # (world x, world z)
+            elif name == "front":
+                ta, tb = rx * zs, ry * zs               # (world x, y)
+            else:
+                ta, tb = zs + cam_z, ry * zs            # (world z, y)
+            finite = np.isfinite(zs)
+            ta = np.where(finite, ta, 0.0)
+            tb = np.where(finite, tb, 0.0)
+            tex = _texture(np.random.RandomState(rng_seed[name]),
+                           0.35 * ta, 0.35 * tb)
+            img = np.where((pick == k)[..., None], tex, img)
         Image.fromarray((img * 255).astype(np.uint8)).save(
             osp.join(base, "rgb", "downsample", f"{i:010}.jpg"), quality=95
         )
-        # Sparse gt: every 3rd pixel below the horizon margin, plus wall rows.
-        hh, ww = np.meshgrid(np.arange(0, H0, 3), np.arange(0, W0, 3), indexing="ij")
+        # Sparse gt on a grid, capped at the eval range.
+        hh, ww = np.meshgrid(np.arange(0, H0, gt_stride),
+                             np.arange(0, W0, gt_stride), indexing="ij")
         zz = z[hh, ww]
         keep = zz < 60.0
         pts = np.stack([hh[keep], ww[keep], zz[keep]], -1).astype(np.float32)
@@ -101,10 +141,12 @@ def render_scene(root, W0=640, H0=192):
 
     splits = osp.join(root, "splits", "synth")
     os.makedirs(splits, exist_ok=True)
+    n_val = max(n_frames // 4, 4)
+    train_hi = n_frames - n_val - 2
     with open(osp.join(splits, "train_files.txt"), "w") as f:
-        f.write("".join(f"{seq} {i} l\n" for i in range(1, 20)))
+        f.write("".join(f"{seq} {i} l\n" for i in range(1, train_hi)))
     with open(osp.join(splits, "val_files.txt"), "w") as f:
-        f.write("".join(f"{seq} {i} l\n" for i in range(21, 29)))
+        f.write("".join(f"{seq} {i} l\n" for i in range(train_hi + 1, n_frames - 1)))
     return osp.join(root, "splits")
 
 
@@ -225,10 +267,18 @@ def main():
                     help="transfer only this many distinct batches per epoch "
                          "and cycle them on-device (bounds the axon host-RAM "
                          "transfer leak; 0 = production prefetch)")
+    ap.add_argument("--dz", type=float, default=0.75,
+                    help="camera forward motion per frame, m (parallax "
+                         "baseline; the round-2 0.25 m gave too little "
+                         "signal for depth to move)")
+    ap.add_argument("--n_frames", type=int, default=48)
+    ap.add_argument("--flat", action="store_true",
+                    help="round-2 two-plane scene (no corridor side walls)")
     args = ap.parse_args()
 
     data_root = osp.join(args.out, "data")
-    splits_dir = render_scene(data_root)
+    splits_dir = render_scene(data_root, dz=args.dz, n_frames=args.n_frames,
+                              corridor=not args.flat)
     print(f"scene rendered under {data_root}", flush=True)
 
     results = {}
