@@ -31,7 +31,7 @@ sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 CAM_HEIGHT = 1.5   # m, ground plane distance below the optical axis
-WALL_Z = 22.0      # m, frontal wall world depth at frame 0
+WALL_MARGIN = 20.0  # m kept between the last camera position and the wall
 DZ = 0.25          # m forward per frame
 N_FRAMES = 30
 HORIZON = 0.553    # v/H above which the wall is used (ground depth > ~55 m)
@@ -84,6 +84,13 @@ def render_scene(root, W0=640, H0=192, dz=DZ, n_frames=N_FRAMES,
     os.makedirs(osp.join(base, "rgb", "downsample"), exist_ok=True)
     os.makedirs(osp.join(base, "depth"), exist_ok=True)
 
+    # The wall must stay ahead of the WHOLE trajectory: round 3's first run
+    # used a fixed 22 m wall with dz=0.75 x 48 frames = 36 m of travel — the
+    # camera drove THROUGH the wall at frame ~29, clamping it to a degenerate
+    # 1 m plane that made every later frame identical (val loss ~1e-4,
+    # meaningless metrics). Place it past the final camera position.
+    wall_z = n_frames * dz + WALL_MARGIN
+
     rng_seed = dict(ground=1, front=2, left=3, right=4)
     u = (np.arange(W0) + 0.5) / W0  # normalized pixel centers
     v = (np.arange(H0) + 0.5) / H0
@@ -96,7 +103,7 @@ def render_scene(root, W0=640, H0=192, dz=DZ, n_frames=N_FRAMES,
 
     for i in range(n_frames):
         cam_z = i * dz
-        z_front = np.maximum(WALL_Z - cam_z, 1.0)
+        z_front = np.maximum(wall_z - cam_z, 1.0)
         # Candidate camera-frame depth per surface (inf where ray misses it).
         surf = {
             "ground": np.where(ry > eps, CAM_HEIGHT / np.maximum(ry, eps), INF),
@@ -217,15 +224,20 @@ def run_one(compute_dtype, data_root, splits_dir, args):
             # epoch and cycle them on-device: the leak becomes O(N), and both
             # dtype arms see literally identical batch streams — a cleaner
             # matched comparison. N=0 restores the production prefetch path.
+            # The loader is abandoned once the cache is full (its finally
+            # clause stops the workers) so the host stops paying the decode
+            # cost — it was the measured bottleneck on this 1-CPU box.
             if args.device_batch_cache <= 0:
                 yield from super()._device_prefetch(loader)
                 return
-            cache, i = [], 0
+            n_steps = len(loader)
+            cache = []
             for batch in loader:
-                if len(cache) < args.device_batch_cache:
-                    cache.append(self.put_batch(self._train_keys_only(batch)))
+                cache.append(self.put_batch(self._train_keys_only(batch)))
+                if len(cache) >= min(args.device_batch_cache, n_steps):
+                    break
+            for i in range(n_steps):
                 yield cache[i % len(cache)]
-                i += 1
 
         def setup_logging(self):
             self._wandb = None
