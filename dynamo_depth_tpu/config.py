@@ -136,6 +136,12 @@ class DynamoConfig:
     # Compute dtype for network forward/backward ("bfloat16" or "float32").
     # Params and optimizer state are always float32.
     compute_dtype: str = "float32"
+    # Storage dtype for the warp gather operand ("bfloat16" halves the HBM
+    # traffic of the 6 warp gathers — the largest single item in the step
+    # profile, BENCH.md). Coordinates, lerp weights, and the photometric
+    # pipeline stay float32 (warp output promotes back to f32; max operand
+    # quantization error 2e-3, below the 8-bit source quantization).
+    image_dtype: str = "float32"
     # Host pipeline: batches to keep in flight on device.
     prefetch_depth: int = 2
     # Seed for all jax/np RNG.
@@ -264,6 +270,7 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU-native flags
     p.add_argument("--num_devices", type=int, default=0)
     p.add_argument("--compute_dtype", type=str, default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--image_dtype", type=str, default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--prefetch_depth", type=int, default=2)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--profile", action="store_true")

@@ -33,8 +33,17 @@ from dynamo_depth_tpu.ops.warp import grid_sample, resize_bilinear
 LOSS_TERMS = ("p_photo", "d_smooth", "d_ground", "c_smooth", "c_consistency", "m_sparsity", "m_smooth")
 
 
+def _image_dtype(cfg):
+    return jnp.bfloat16 if getattr(cfg, "image_dtype", "float32") == "bfloat16" else jnp.float32
+
+
 def _reprojection_loss(cfg, pred, target):
-    """Photometric error, optionally via the fused Pallas kernel."""
+    """Photometric error, optionally via the fused Pallas kernel.
+
+    Stays float32 regardless of ``--image_dtype``: casting the SSIM inputs
+    to bf16 was measured at up to ~7% relative per-pixel loss error (the
+    variance/covariance terms amplify quantization), enough to flip
+    per-pixel min-over-sources choices — not worth the traffic win."""
     if getattr(cfg, "pallas_photometric", False):
         from dynamo_depth_tpu.ops.pallas import reprojection_loss_fused
 
@@ -45,9 +54,15 @@ def _reprojection_loss(cfg, pred, target):
 def _grid_sample(cfg, image, grid):
     """Bilinear warp, optionally via the Pallas gather kernel.
 
+    Under ``--image_dtype bfloat16`` the gather operand is stored bf16
+    (halving the warp gathers' HBM traffic — the largest single item in the
+    step profile, BENCH.md); the sample coordinates and lerp weights stay
+    float32, so the geometry is exact.
+
     Probe-gated: the 2026-08-16 Mosaic toolchain only compiles within-tile
     dynamic gathers (see ops/pallas/warp_kernel.py docstring), so on TPU the
     probe fails and the XLA gather path is used even under --pallas_warp."""
+    image = image.astype(_image_dtype(cfg))
     if getattr(cfg, "pallas_warp", False):
         from dynamo_depth_tpu.ops.pallas import grid_sample_pallas
         from dynamo_depth_tpu.ops.pallas.warp_kernel import supported
