@@ -89,7 +89,8 @@ def measure(args, batch_size):
 
     cfg = DynamoConfig(
         dataset="kitti", depth_model=args.depth_model, batch_size=batch_size,
-        compute_dtype=args.compute_dtype, no_train_vis=True, num_devices=0,
+        compute_dtype=args.compute_dtype, image_dtype=args.image_dtype,
+        no_train_vis=True, num_devices=0,
     )
     trainer = Trainer(cfg)
     built = trainer._build_phase("fine_tune", steps_per_epoch=8000)
@@ -183,6 +184,8 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--compute_dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    ap.add_argument("--image_dtype", default="float32", choices=["float32", "bfloat16"],
+                    help="warp-gather operand storage dtype (losses.py)")
     ap.add_argument("--batch_size", type=int, default=None,
                     help="single batch size to measure; default measures the "
                          "recipe batch (3) and the sweet spot (8), reporting "

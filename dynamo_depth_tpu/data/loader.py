@@ -156,11 +156,24 @@ class BatchLoader:
             ex.shutdown(wait=False, cancel_futures=True)
 
 
-def padded_eval_batches(dataset, batch_size: int, num_workers: int = 2, prefetch: int = 2):
+def padded_eval_batches(dataset, batch_size: int, num_workers: int = 2, prefetch: int = 2,
+                        shard=(0, 1)):
     """Yield (batch, real_indices) over a dataset in order, padding the final
     batch to full size by repeating the last item (keeps jit shapes static;
     eval CLIs weight metrics by the real count). Batches are prepared by a
-    thread pool and prefetched."""
+    thread pool and prefetched.
+
+    ``batch_size`` is GLOBAL. Under multi-process eval (``shard=(pid,
+    nproc)``) each host materializes only its contiguous row-slice of every
+    global batch — rows ``[pid*local : (pid+1)*local]`` — and
+    ``Trainer.put_batch`` reassembles the global batch on device
+    (DistributedSampler eval semantics, reference Trainer.py:546-551, with
+    host-side IO sharded instead of replicated). ``real_indices`` always
+    lists the GLOBAL real indices of the batch, identical on every host, so
+    metric accumulation needs no cross-host reduction."""
+    pid, nproc = shard
+    assert batch_size % nproc == 0, (batch_size, nproc)
+    local = batch_size // nproc
     n = len(dataset)
     starts = list(range(0, n, batch_size))
 
@@ -169,7 +182,8 @@ def padded_eval_batches(dataset, batch_size: int, num_workers: int = 2, prefetch
         real = list(idxs)
         while len(idxs) < batch_size:
             idxs.append(idxs[-1])
-        return collate([dataset.get_item(i) for i in idxs]), real
+        mine = idxs[pid * local:(pid + 1) * local]
+        return collate([dataset.get_item(i) for i in mine]), real
 
     ex = ThreadPoolExecutor(max_workers=max(1, num_workers))
     try:

@@ -8,11 +8,33 @@ XLA; ``is_main_process`` replaces the reference's rank-0 ``is_main`` gating
 
 from __future__ import annotations
 
+import os
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+
+
+def maybe_init_distributed() -> None:
+    """Join the jax.distributed cluster when launched multi-process.
+
+    Replaces the reference's torch.distributed NCCL process-group setup
+    (train.py:6-10). Configured via JAX_COORDINATOR_ADDRESS /
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID (torchrun-style env contract); used
+    by train.py AND the eval CLIs, which the reference also runs under
+    DistributedSampler (Trainer.py:546-551)."""
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or int(
+        os.environ.get("JAX_NUM_PROCESSES", "1")
+    ) > 1:
+        # NOTE: must not touch jax.process_count()/devices() here — any
+        # backend query initializes XLA and initialize() then refuses to run.
+        try:
+            jax.distributed.initialize()
+        except RuntimeError as e:
+            if "once" not in str(e) and "already" not in str(e):
+                raise  # already-initialized (e.g. train.py called us first) is fine
 
 
 def make_mesh(num_devices: int = 0, devices=None) -> Mesh:

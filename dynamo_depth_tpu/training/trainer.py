@@ -484,16 +484,15 @@ class Trainer:
         )
         losses = dict(losses)
         if "depth_gt" in batch:
-            if jax.process_count() > 1:
-                # metrics on this host's local shard (batch holds local data).
-                # Order shards by their global batch index so rows pair with
-                # the host-local batch["depth_gt"] rows — shard-list order is
-                # NOT guaranteed to follow the batch axis.
-                shards = sorted(
-                    disp_scaled.addressable_shards,
-                    key=lambda s: (s.index[0].start or 0),
-                )
-                disp_scaled = np.concatenate([np.asarray(s.data) for s in shards])
+            # Multi-process: disp_scaled is the GLOBAL array and the host-
+            # local batch["depth_gt"] rows are re-assembled onto the same
+            # shard placement inside depth_metrics (put_batch semantics), so
+            # prediction/ground-truth rows pair by construction and the
+            # metrics are global-batch means — identical on every host and
+            # equal to the single-process value. (The round-2 version
+            # downloaded this host's shards and logged local-half metrics;
+            # replaced after the round-3 two-process drive, see
+            # scripts/two_process_drive.py.)
             losses.update(
                 self.depth_metrics(batch, {("disp_scaled", 0, 0): disp_scaled})
             )
@@ -533,6 +532,19 @@ class Trainer:
                 "predict() needs ('color_aug', <frame>, 0) keys in the batch; "
                 "none were present")
         n = next(iter(batch.values())).shape[0]
+        nproc = jax.process_count()
+        if nproc > 1:
+            # Multi-process: ``batch`` holds this host's LOCAL rows; put_batch
+            # assembles the global batch (local rows land on this host's
+            # shard positions, in process order). Padding would interleave
+            # pad rows inside the global batch, so callers must feed rows
+            # that already fill this host's devices evenly (the eval CLIs'
+            # global batch is rounded to a mesh-divisible size).
+            if n % max(self.n_dev // nproc, 1):
+                raise ValueError(
+                    f"multi-process predict() needs per-host batches divisible "
+                    f"by the {self.n_dev // nproc} local devices, got {n} rows")
+            return self._predict_cache[key](self.variables, self.put_batch(batch))
         pad = (-n) % self.n_dev
         if pad:
             batch = {k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
@@ -552,6 +564,11 @@ class Trainer:
         shard = batch_sharding(self.mesh)
 
         def put(x):
+            # Multi-process: the caller holds only its LOCAL batch rows
+            # (loader shard) — assemble the global array exactly like
+            # put_batch so rows pair with the prediction's shard placement.
+            if jax.process_count() > 1:
+                return jax.make_array_from_process_local_data(shard, np.asarray(x))
             return jax.device_put(jnp.asarray(x), shard)
 
         return depth_metrics(

@@ -18,6 +18,7 @@ from dynamo_depth_tpu.data.loader import padded_eval_batches
 from dynamo_depth_tpu.data.splits import read_split
 from dynamo_depth_tpu.ops.geometry import disp_to_depth
 from dynamo_depth_tpu.ops.metrics import DEPTH_METRIC_NAMES
+from dynamo_depth_tpu.parallel.mesh import is_main_process, maybe_init_distributed
 from dynamo_depth_tpu.training.trainer import Trainer
 from dynamo_depth_tpu.utils.io import get_model_ckpt_name, join_dir, write_to_file
 
@@ -39,10 +40,17 @@ def sample_mask_at_points(mot_mask, depth_gt):
 
 
 def main():
+    import jax
+
+    maybe_init_distributed()
     cfg = parse_config()
     cfg.print_opt = False
     cfg.frame_ids = [0]  # only the target frame is needed (eval/depth.py:28)
     cfg.img_ext = cfg.eval_img_ext
+    # Multi-process eval: each host loads a contiguous row-slice of every
+    # global batch and the metrics come back as global-batch means (identical
+    # on every host) — DistributedSampler eval, reference Trainer.py:546-551.
+    shard = (jax.process_index(), jax.process_count())
 
     model_name, ckpt_name = get_model_ckpt_name(cfg.load_ckpt)
     outdir = join_dir(cfg.eval_dir, f"{model_name}_{cfg.dataset}", "depth")
@@ -68,10 +76,13 @@ def main():
     out.append(f"=== len={len(dataset)} ===")
     out.append(header)
 
+    local = eval_bs // shard[1]
+    lo = shard[0] * local
+
     totals = {m: 0.0 for m in metric_names}
     total_num = 0
     for bi, (batch, real_idxs) in enumerate(
-        padded_eval_batches(dataset, eval_bs, cfg.num_workers)
+        padded_eval_batches(dataset, eval_bs, cfg.num_workers, shard=shard)
     ):
         real = len(real_idxs)
         outputs = dict(trainer.predict(batch))
@@ -80,11 +91,12 @@ def main():
         )
         weight = np.zeros((eval_bs,), np.float32)
         weight[:real] = 1.0
-        met = trainer.depth_metrics(batch, outputs, sample_weight=weight)
+        met = trainer.depth_metrics(batch, outputs,
+                                    sample_weight=weight[lo:lo + local])
         for m in metric_names:
             totals[m] += float(met[m]) * real
         total_num += real
-        if bi % 50 == 0:
+        if bi % 50 == 0 and is_main_process():
             print(f"(1/2) depth eval {bi * eval_bs}/{len(dataset)}", flush=True)
 
     out.append(display_str(["OVERALL"] + ["& {:.3f}".format(totals[m] / total_num) for m in metric_names]))
@@ -105,7 +117,7 @@ def main():
         labels = {"bg": 0, "static": 2, "mot": 1}
         agg = {split: {m: [0.0, 0.0] for m in metric_names} for split in labels}
         for bi, (batch, real_idxs) in enumerate(
-            padded_eval_batches(dataset, eval_bs, cfg.num_workers)
+            padded_eval_batches(dataset, eval_bs, cfg.num_workers, shard=shard)
         ):
             real = len(real_idxs)
             outputs = dict(trainer.predict(batch))
@@ -117,14 +129,14 @@ def main():
             mask_pts = sample_mask_at_points(batch["mot_mask"], batch["depth_gt"])
             met = trainer.depth_metrics(
                 batch, outputs, mask_pts=mask_pts, labels=tuple(labels.values()),
-                sample_weight=weight,
+                sample_weight=weight[lo:lo + local],
             )
             for split, lbl in labels.items():
                 for m in metric_names:
                     s, c = met[f"{m}_mask/{lbl}"]
                     agg[split][m][0] += float(s)
                     agg[split][m][1] += float(c)
-            if bi % 50 == 0:
+            if bi % 50 == 0 and is_main_process():
                 print(f"(2/2) mask depth eval {bi * eval_bs}/{len(dataset)}", flush=True)
 
         for split in labels:
@@ -134,9 +146,10 @@ def main():
             ))
         out.append("\n")
 
-    for s in out:
-        print(s)
-    write_to_file(out, out_path)
+    if is_main_process():
+        for s in out:
+            print(s)
+        write_to_file(out, out_path)
 
 
 if __name__ == "__main__":

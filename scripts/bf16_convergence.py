@@ -39,7 +39,7 @@ FX_N, FY_N = 0.58, 1.92  # the KITTI loader's normalized intrinsics
 DEPTH_KEYS = ("de:abs_rel", "de:sq_rel", "de:rms", "da:a1", "da:a2", "da:a3")
 
 
-def _texture(rng, a, b, octaves=2):
+def _texture(rng, a, b, octaves=2, fa=None, fb=None):
     """Deterministic RGB texture over world surface coords (a, b).
 
     ABSOLUTE brightness (no per-frame min/max normalization — the round-2
@@ -47,6 +47,16 @@ def _texture(rng, a, b, octaves=2):
     brightness flicker between frames, a real photometric inconsistency
     the loss then had to explain). Multi-octave random-Fourier features
     give the gradient structure photometric depth learning needs.
+
+    ``fa``/``fb``: optional per-pixel texture-coordinate footprints (units
+    per pixel) for ANALYTIC anti-aliasing. The ground plane's foreshortening
+    pushes the texture ~10 cycles/pixel past Nyquist near the horizon, and
+    the alias pattern depends on camera position — frame-INconsistent noise
+    that the first round-3 run's loss exploited (val loss fell while abs_rel
+    diverged 0.35 -> 3.2). Because the texture is a finite cosine sum, the
+    pixel box filter is exact per component: attenuate each cosine by a
+    Gaussian in its projected per-pixel frequency, which converges the far
+    field to the texture's true local mean.
     """
     K = 24
     f = rng.uniform(-3.0, 3.0, (2, K))
@@ -55,7 +65,13 @@ def _texture(rng, a, b, octaves=2):
     out, norm = 0.0, 0.0
     for o in range(octaves):
         arg = (a[..., None] * f[0] + b[..., None] * f[1]) * (2 ** o)
-        chans = [np.sum(amp[c] * np.cos(2 * np.pi * arg + ph[c]), -1)
+        if fa is not None:
+            nu = (np.abs(f[0]) * fa[..., None]
+                  + np.abs(f[1]) * fb[..., None]) * (2 ** o)  # cycles/pixel
+            gain = np.exp(-0.5 * (np.pi * nu) ** 2)
+        else:
+            gain = 1.0
+        chans = [np.sum(amp[c] * gain * np.cos(2 * np.pi * arg + ph[c]), -1)
                  for c in range(3)]
         out = out + np.stack(chans, -1) * (0.6 ** o)
         norm += 0.6 ** o
@@ -66,7 +82,7 @@ CORRIDOR_HALF_W = 7.0  # m, side-wall distance from the camera axis
 
 
 def render_scene(root, W0=640, H0=192, dz=DZ, n_frames=N_FRAMES,
-                 corridor=True, gt_stride=3):
+                 corridor=True, gt_stride=3, ss=2):
     """Write a consistent n_frames-frame KITTI-layout sequence + splits.
 
     Geometry: textured ground plane + frontal wall, and (``corridor=True``)
@@ -75,6 +91,15 @@ def render_scene(root, W0=640, H0=192, dz=DZ, n_frames=N_FRAMES,
     scene lacked (its depth collapsed to near-constant during disp_init;
     BENCH.md round-3 study). Every surface's depth and texture are exact
     functions of world coordinates, so all frames are mutually consistent.
+
+    ``ss``: supersampling factor. Rendering at native resolution aliases the
+    ground texture near the horizon (foreshortening pushes it far past
+    Nyquist), and the alias pattern depends on camera position — REAL
+    photometric inconsistency between frames. The first round-3 TPU run
+    showed the loss exploiting it: val loss fell 0.28 -> 0.21 while abs_rel
+    diverged 0.35 -> 3.2 (the far field dominates the image area). Render at
+    ss x resolution and box-filter down so the far field converges to the
+    texture's true local mean instead.
     """
     from PIL import Image
 
@@ -84,6 +109,19 @@ def render_scene(root, W0=640, H0=192, dz=DZ, n_frames=N_FRAMES,
     os.makedirs(osp.join(base, "rgb", "downsample"), exist_ok=True)
     os.makedirs(osp.join(base, "depth"), exist_ok=True)
 
+    # Scene stamp: the render is deterministic in these params, so a second
+    # arm (one process per dtype, CLAUDE.md) reuses the frames instead of
+    # paying the ~15 min re-render on this 1-CPU box. "aa3" = the analytic
+    # anti-aliased texture revision; bump when the scene function changes.
+    stamp = dict(W0=W0, H0=H0, dz=dz, n_frames=n_frames, corridor=corridor,
+                 gt_stride=gt_stride, ss=ss, version="aa3")
+    stamp_path = osp.join(root, "scene_stamp.json")
+    if osp.exists(stamp_path):
+        with open(stamp_path) as f:
+            if json.load(f) == stamp:
+                print("scene stamp matches - reusing rendered frames", flush=True)
+                return osp.join(root, "splits")
+
     # The wall must stay ahead of the WHOLE trajectory: round 3's first run
     # used a fixed 22 m wall with dz=0.75 x 48 frames = 36 m of travel — the
     # camera drove THROUGH the wall at frame ~29, clamping it to a degenerate
@@ -92,50 +130,59 @@ def render_scene(root, W0=640, H0=192, dz=DZ, n_frames=N_FRAMES,
     wall_z = n_frames * dz + WALL_MARGIN
 
     rng_seed = dict(ground=1, front=2, left=3, right=4)
-    u = (np.arange(W0) + 0.5) / W0  # normalized pixel centers
-    v = (np.arange(H0) + 0.5) / H0
-    uu, vv = np.meshgrid(u, v)
-    # Normalized ray directions (x/z, y/z).
-    rx = (uu - 0.5) / FX_N
-    ry = (vv - 0.5) / FY_N
     eps = 1e-6
-    INF = np.full_like(rx, np.inf)
 
-    for i in range(n_frames):
-        cam_z = i * dz
-        z_front = np.maximum(wall_z - cam_z, 1.0)
-        # Candidate camera-frame depth per surface (inf where ray misses it).
+    def rays(W, H):
+        u = (np.arange(W) + 0.5) / W  # normalized pixel centers
+        v = (np.arange(H) + 0.5) / H
+        uu, vv = np.meshgrid(u, v)
+        return (uu - 0.5) / FX_N, (vv - 0.5) / FY_N  # (x/z, y/z)
+
+    def surfaces(rx, ry, cam_z):
+        """Candidate camera-frame depth per surface (inf where ray misses)."""
+        INF = np.full_like(rx, np.inf)
         surf = {
             "ground": np.where(ry > eps, CAM_HEIGHT / np.maximum(ry, eps), INF),
-            "front": np.full_like(rx, z_front),
+            "front": np.full_like(rx, np.maximum(wall_z - cam_z, 1.0)),
         }
         if corridor:
             surf["left"] = np.where(rx < -eps, CORRIDOR_HALF_W / np.maximum(-rx, eps), INF)
             surf["right"] = np.where(rx > eps, CORRIDOR_HALF_W / np.maximum(rx, eps), INF)
+        return surf
+
+    rx_hi, ry_hi = rays(W0 * ss, H0 * ss)  # image rendering (AA, see above)
+    rx_lo, ry_lo = rays(W0, H0)            # gt depth at native pixel centers
+
+    for i in range(n_frames):
+        cam_z = i * dz
+        surf = surfaces(rx_hi, ry_hi, cam_z)
         names = list(surf)
-        Z = np.stack([surf[n] for n in names])  # (S, H, W)
-        pick = np.argmin(Z, axis=0)
-        z = np.min(Z, axis=0)
+        pick = np.argmin(np.stack([surf[n] for n in names]), axis=0)
         # Texture each surface by its own world-coordinate chart.
-        img = np.zeros((H0, W0, 3), np.float32)
+        img = np.zeros((H0 * ss, W0 * ss, 3), np.float32)
         for k, name in enumerate(names):
             zs = surf[name]
             if name == "ground":
-                ta, tb = rx * zs, zs + cam_z            # (world x, world z)
+                ta, tb = rx_hi * zs, zs + cam_z         # (world x, world z)
             elif name == "front":
-                ta, tb = rx * zs, ry * zs               # (world x, y)
+                ta, tb = rx_hi * zs, ry_hi * zs         # (world x, y)
             else:
-                ta, tb = zs + cam_z, ry * zs            # (world z, y)
+                ta, tb = zs + cam_z, ry_hi * zs         # (world z, y)
             finite = np.isfinite(zs)
-            ta = np.where(finite, ta, 0.0)
-            tb = np.where(finite, tb, 0.0)
+            ta = np.where(finite, ta, 0.0).astype(np.float32) * 0.35
+            tb = np.where(finite, tb, 0.0).astype(np.float32) * 0.35
+            # Per-pixel texture footprint (units/pixel) for analytic AA.
+            fa = np.hypot(*np.gradient(ta))
+            fb = np.hypot(*np.gradient(tb))
             tex = _texture(np.random.RandomState(rng_seed[name]),
-                           0.35 * ta, 0.35 * tb)
+                           ta, tb, fa=fa, fb=fb)
             img = np.where((pick == k)[..., None], tex, img)
+        img = img.reshape(H0, ss, W0, ss, 3).mean(axis=(1, 3))  # box AA
         Image.fromarray((img * 255).astype(np.uint8)).save(
             osp.join(base, "rgb", "downsample", f"{i:010}.jpg"), quality=95
         )
         # Sparse gt on a grid, capped at the eval range.
+        z = np.min(np.stack(list(surfaces(rx_lo, ry_lo, cam_z).values())), axis=0)
         hh, ww = np.meshgrid(np.arange(0, H0, gt_stride),
                              np.arange(0, W0, gt_stride), indexing="ij")
         zz = z[hh, ww]
@@ -154,6 +201,8 @@ def render_scene(root, W0=640, H0=192, dz=DZ, n_frames=N_FRAMES,
         f.write("".join(f"{seq} {i} l\n" for i in range(1, train_hi)))
     with open(osp.join(splits, "val_files.txt"), "w") as f:
         f.write("".join(f"{seq} {i} l\n" for i in range(train_hi + 1, n_frames - 1)))
+    with open(stamp_path, "w") as f:
+        json.dump(stamp, f)
     return osp.join(root, "splits")
 
 

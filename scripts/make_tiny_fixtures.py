@@ -31,8 +31,12 @@ from PIL import Image
 
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
-from scripts.bf16_convergence import CAM_HEIGHT, WALL_Z, DZ, _texture  # noqa: E402
+from scripts.bf16_convergence import CAM_HEIGHT, DZ, _texture  # noqa: E402
 
+# Fixture-scene wall position (the convergence script's wall moved to a
+# trajectory-dependent position in round 3; the vendored fixtures keep the
+# original fixed 22 m wall so regeneration stays byte-stable).
+WALL_Z = 22.0
 RNG_GROUND, RNG_WALL, RNG_PTS = 11, 12, 13
 
 

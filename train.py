@@ -23,12 +23,8 @@ if os.environ.get("DYNAMO_FORCE_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["DYNAMO_FORCE_PLATFORM"])
 
 from dynamo_depth_tpu.config import parse_config
+from dynamo_depth_tpu.parallel.mesh import maybe_init_distributed
 from dynamo_depth_tpu.training.trainer import Trainer
-
-
-def maybe_init_distributed():
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or int(os.environ.get("JAX_NUM_PROCESSES", "1")) > 1:
-        jax.distributed.initialize()
 
 
 if __name__ == "__main__":
