@@ -12,5 +12,6 @@ from dynamo_depth_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
     is_main_process,
     make_mesh,
+    replicate_to_mesh,
     replicated_sharding,
 )

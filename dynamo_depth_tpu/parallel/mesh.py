@@ -24,14 +24,28 @@ def maybe_init_distributed() -> None:
     (train.py:6-10). Configured via JAX_COORDINATOR_ADDRESS /
     JAX_NUM_PROCESSES / JAX_PROCESS_ID (torchrun-style env contract); used
     by train.py AND the eval CLIs, which the reference also runs under
-    DistributedSampler (Trainer.py:546-551)."""
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or int(
-        os.environ.get("JAX_NUM_PROCESSES", "1")
-    ) > 1:
+    DistributedSampler (Trainer.py:546-551).
+
+    jax.distributed.initialize() only reads JAX_COORDINATOR_ADDRESS from the
+    environment itself — num_processes/process_id come from cluster
+    auto-detection (SLURM etc.) or explicit args, so the torchrun-style env
+    contract must be forwarded explicitly (caught live by
+    scripts/two_process_drive.py's eval leg: "Number of processes must be
+    defined")."""
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    if addr or (nproc and int(nproc) > 1):
         # NOTE: must not touch jax.process_count()/devices() here — any
         # backend query initializes XLA and initialize() then refuses to run.
+        kwargs = {}
+        if addr:
+            kwargs["coordinator_address"] = addr
+        if nproc:
+            kwargs["num_processes"] = int(nproc)
+        if "JAX_PROCESS_ID" in os.environ:
+            kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
         try:
-            jax.distributed.initialize()
+            jax.distributed.initialize(**kwargs)
         except RuntimeError as e:
             if "once" not in str(e) and "already" not in str(e):
                 raise  # already-initialized (e.g. train.py called us first) is fine
@@ -54,6 +68,28 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def replicate_to_mesh(tree, mesh: Mesh):
+    """Place a host-local pytree fully replicated over ``mesh``.
+
+    Single process this is a plain ``device_put``. Multi-process,
+    ``device_put(x, replicated)`` runs jax's internal ``assert_equal`` — a
+    full-tree ``process_allgather`` over gloo/DCN whose ~30 s context-init
+    deadline flakes under host skew (caught live by
+    scripts/two_process_drive.py's eval leg) and ships every parameter
+    across hosts just to compare them. Model/optimizer state is
+    deterministic per host (same seed or same checkpoint), so build the
+    replicated global array collective-free from local data instead."""
+    sh = replicated_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sh)
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+    return jax.tree.map(put, tree)
 
 
 def is_main_process() -> bool:

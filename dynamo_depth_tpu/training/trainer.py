@@ -49,7 +49,7 @@ from dynamo_depth_tpu.parallel.mesh import (
     batch_sharding,
     is_main_process,
     make_mesh,
-    replicated_sharding,
+    replicate_to_mesh,
 )
 from dynamo_depth_tpu.training import checkpoint as ckpt
 from dynamo_depth_tpu.training.losses import compute_losses, view_synthesis
@@ -133,7 +133,7 @@ class Trainer:
                 )
             except ImportError:
                 self.print("|- torch unavailable - encoders keep random init")
-        self.variables = jax.device_put(self.variables, replicated_sharding(self.mesh))
+        self.variables = replicate_to_mesh(self.variables, self.mesh)
 
         self.dataset_cls = DATASETS[cfg.dataset]
         self.g_step = 0
@@ -387,9 +387,8 @@ class Trainer:
             if restored is not None:
                 opt_state = restored
                 self.print(f"restored optimizer state from {cfg.load_ckpt}")
-        rep = replicated_sharding(self.mesh)
-        t_params, f_params, batch_stats, opt_state = jax.device_put(
-            (t_params, f_params, batch_stats, opt_state), rep
+        t_params, f_params, batch_stats, opt_state = replicate_to_mesh(
+            (t_params, f_params, batch_stats, opt_state), self.mesh
         )
 
         self.step = 0

@@ -333,13 +333,19 @@ def main():
                          "baseline; the round-2 0.25 m gave too little "
                          "signal for depth to move)")
     ap.add_argument("--n_frames", type=int, default=48)
+    ap.add_argument("--render_wh", type=int, nargs=2, default=[640, 192],
+                    help="rendered frame size (W H). The texture AA is "
+                         "analytic, so rendering directly at the training "
+                         "resolution is equally alias-free and ~4x cheaper "
+                         "on this 1-CPU box than the KITTI-raw-like default")
     ap.add_argument("--flat", action="store_true",
                     help="round-2 two-plane scene (no corridor side walls)")
     args = ap.parse_args()
 
     data_root = osp.join(args.out, "data")
-    splits_dir = render_scene(data_root, dz=args.dz, n_frames=args.n_frames,
-                              corridor=not args.flat)
+    splits_dir = render_scene(data_root, W0=args.render_wh[0],
+                              H0=args.render_wh[1], dz=args.dz,
+                              n_frames=args.n_frames, corridor=not args.flat)
     print(f"scene rendered under {data_root}", flush=True)
 
     results = {}
