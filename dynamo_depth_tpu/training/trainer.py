@@ -132,6 +132,17 @@ class Trainer:
                     self.variables, cfg, verbose=is_main_process(), seed=cfg.seed,
                 )
             except ImportError:
+                if jax.process_count() > 1:
+                    # One host silently keeping random init while others load
+                    # pretrained weights would diverge the "replicated" params
+                    # (also caught by replicate_to_mesh's fingerprint check,
+                    # but fail here with the actionable cause).
+                    raise RuntimeError(
+                        "imagenet-pretrained load failed (torch unavailable) "
+                        "in multi-process mode — heterogeneous init would "
+                        "silently diverge hosts; install torch on every host "
+                        "or pass --weights_init scratch"
+                    )
                 self.print("|- torch unavailable - encoders keep random init")
         self.variables = replicate_to_mesh(self.variables, self.mesh)
 

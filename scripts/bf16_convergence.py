@@ -334,10 +334,11 @@ def main():
                          "signal for depth to move)")
     ap.add_argument("--n_frames", type=int, default=48)
     ap.add_argument("--render_wh", type=int, nargs=2, default=[640, 192],
-                    help="rendered frame size (W H). The texture AA is "
-                         "analytic, so rendering directly at the training "
-                         "resolution is equally alias-free and ~4x cheaper "
-                         "on this 1-CPU box than the KITTI-raw-like default")
+                    help="rendered frame size (W H). Default IS the training "
+                         "resolution (640x192): the texture AA is analytic, so "
+                         "rendering at train res is already alias-free. Raise "
+                         "it (e.g. KITTI-raw-like 1242x375) only to exercise "
+                         "the dataset's downscale path, at ~4x the render cost")
     ap.add_argument("--flat", action="store_true",
                     help="round-2 two-plane scene (no corridor side walls)")
     args = ap.parse_args()
