@@ -184,8 +184,10 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--compute_dtype", default="bfloat16", choices=["float32", "bfloat16"])
-    ap.add_argument("--image_dtype", default="float32", choices=["float32", "bfloat16"],
-                    help="warp-gather operand storage dtype (losses.py)")
+    ap.add_argument("--image_dtype", default="auto",
+                    choices=["auto", "float32", "bfloat16"],
+                    help="warp-gather operand storage dtype (losses.py); "
+                         "auto = bf16 for per-device operands >= 2**19 px")
     ap.add_argument("--batch_size", type=int, default=None,
                     help="single batch size to measure; default measures the "
                          "recipe batch (3) and the sweet spot (8), reporting "

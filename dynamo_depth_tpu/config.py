@@ -141,7 +141,9 @@ class DynamoConfig:
     # profile, BENCH.md). Coordinates, lerp weights, and the photometric
     # pipeline stay float32 (warp output promotes back to f32; max operand
     # quantization error 2e-3, below the 8-bit source quantization).
-    image_dtype: str = "float32"
+    # "auto" (default): bf16 only when the per-device operand is >= 2**19
+    # pixels — measured LOSS at batch 3, WIN at batch 8/16 (BENCH.md r4).
+    image_dtype: str = "auto"
     # Host pipeline: batches to keep in flight on device.
     prefetch_depth: int = 2
     # Seed for all jax/np RNG.
@@ -270,7 +272,8 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU-native flags
     p.add_argument("--num_devices", type=int, default=0)
     p.add_argument("--compute_dtype", type=str, default="float32", choices=["float32", "bfloat16"])
-    p.add_argument("--image_dtype", type=str, default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--image_dtype", type=str, default="auto",
+                   choices=["auto", "float32", "bfloat16"])
     p.add_argument("--prefetch_depth", type=int, default=2)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--profile", action="store_true")

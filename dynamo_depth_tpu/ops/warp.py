@@ -53,14 +53,16 @@ def grid_sample(image, grid):
     first compilation of a train/eval step; flipping them mid-process
     silently keeps the previously compiled formulation (ADVICE r2).
 
-    - ``auto`` (default): ``tappack`` for operands up to ~1M pixels
-      (``B*H*W <= 2**20``), ``halo`` above. Both were A/B-measured in-step
-      on the v5e at 192x640 (BENCH.md round-2 warp study): tappack wins at
-      batch 3 (97.7 vs 114.3 ms) and batch 8 (220.5 vs 276.6 ms), halo
-      wins at batch 16 (569.4 vs 683.6 ms) — past ~1M pixels the 4x packed
-      operand plus its rematerialized backward stops fitting the on-chip
-      working set and tappack's lighter lerp no longer pays for the
-      traffic.
+    - ``auto`` (default): ``tappack`` while the packed operand's
+      per-channel bytes fit the measured working set —
+      ``B*H*W * itemsize <= 2**22`` (f32: 1M px, bf16: 2M px) — ``halo``
+      above. A/B-measured in-step on the v5e at 192x640 (BENCH.md round-2
+      study + round-4 bf16-operand rows): f32 tappack wins at batch 3
+      (97.7 vs 114.3 ms) and batch 8 (220.5 vs 276.6), loses at batch 16
+      (683.6 vs 569.4) where the 4x packed operand plus its rematerialized
+      backward outgrows the working set; a bf16 operand halves those bytes
+      and moves the cliff — bf16 tappack at batch 16 measures 462.2 ms vs
+      halo's 570.4, a 19% step win (round 4).
     - ``tappack``: pack each pixel's OWN edge-clamped 2x2 patch into
       ``(B, H, W, 4C)`` (4 shifted views, one concat), so every bilinear
       sample is ONE pointwise (1, 1, 4C) gather touching a single tile
@@ -83,7 +85,8 @@ def grid_sample(image, grid):
     B, H, W = image.shape[0], image.shape[1], image.shape[2]
     mode = os.environ.get("DYNAMO_WARP", "auto")
     if mode == "auto":
-        mode = "tappack" if B * H * W <= 2**20 else "halo"
+        itemsize = jnp.dtype(image.dtype).itemsize
+        mode = "tappack" if B * H * W * itemsize <= 2**22 else "halo"
     if mode == "tappack" and H >= 2 and W >= 2:
         return _grid_sample_tappack(image, grid)
     if mode == "halo" and H >= 2 and W >= 2:

@@ -33,8 +33,24 @@ from dynamo_depth_tpu.ops.warp import grid_sample, resize_bilinear
 LOSS_TERMS = ("p_photo", "d_smooth", "d_ground", "c_smooth", "c_consistency", "m_sparsity", "m_smooth")
 
 
-def _image_dtype(cfg):
-    return jnp.bfloat16 if getattr(cfg, "image_dtype", "float32") == "bfloat16" else jnp.float32
+def _image_dtype(cfg, image=None):
+    """Warp-gather operand storage dtype.
+
+    ``auto`` (default) picks bf16 only for large per-device operands: the
+    same-day A/B on the v5e (2026-08-19, BENCH.md round-4 table) measured
+    bf16 operands LOSING at batch 3 (102.7 vs 95.3 ms/step — the sub-word
+    gather overhead beats the byte savings on a small working set, matching
+    the round-2 isolated probe) but WINNING at batch 8 (214.3 vs 219.7) and
+    batch 16 where the 4x packed operand is HBM-bound. Threshold 2**19
+    pixels separates the measured loss (b3: 368k) from the measured win
+    (b8: 983k)."""
+    mode = getattr(cfg, "image_dtype", "auto")
+    if mode == "auto":
+        if image is None:
+            return jnp.float32
+        B, H, W = image.shape[0], image.shape[1], image.shape[2]
+        return jnp.bfloat16 if B * H * W >= 2**19 else jnp.float32
+    return jnp.bfloat16 if mode == "bfloat16" else jnp.float32
 
 
 def _reprojection_loss(cfg, pred, target):
@@ -62,7 +78,7 @@ def _grid_sample(cfg, image, grid):
     Probe-gated: the 2026-08-16 Mosaic toolchain only compiles within-tile
     dynamic gathers (see ops/pallas/warp_kernel.py docstring), so on TPU the
     probe fails and the XLA gather path is used even under --pallas_warp."""
-    image = image.astype(_image_dtype(cfg))
+    image = image.astype(_image_dtype(cfg, image))
     if getattr(cfg, "pallas_warp", False):
         from dynamo_depth_tpu.ops.pallas import grid_sample_pallas
         from dynamo_depth_tpu.ops.pallas.warp_kernel import supported

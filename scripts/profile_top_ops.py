@@ -146,15 +146,20 @@ def main():
                    if re.search(r"tpu|device|/device", n, re.I) and "host" not in n.lower()}
 
     if by_module or copies:
-        # Derive the profiled-step count from the trace's device "Steps"
-        # thread; bench.py --profile_dir traces both timing blocks
-        # (n1=5 + n2=55 = 60 steps), which is the fallback when the trace
-        # carries no step markers.
-        steps = sum(
-            1 for ev in events
-            if ev.get("ph") == "X" and ev.get("pid") in device_pids
-            and tid_name.get((ev["pid"], ev.get("tid")), "") == "Steps"
-        ) or 60
+        # Derive the profiled-step count as the MODE of per-op-name event
+        # counts on the device: most distinct HLO ops execute exactly once
+        # per step, so the most common count is the step count. (The earlier
+        # "Steps"-thread tally over-counted 4x on the axon deployment — it
+        # emits multiple step markers per execution; caught round 4 when op
+        # n=58 disagreed with Steps=232.) Fallback 60 = bench.py's n1+n2.
+        name_counts = defaultdict(int)
+        for ev in events:
+            if ev.get("ph") == "X" and ev.get("pid") in device_pids:
+                name_counts[ev.get("name", "")] += 1
+        mode_counts = defaultdict(int)
+        for n in name_counts.values():
+            mode_counts[n] += 1
+        steps = max(mode_counts.items(), key=lambda kv: kv[1])[0] if mode_counts else 60
         print(f"(per-step figures divide by {steps} profiled steps)")
         if by_module:
             rollup_by_module(events, device_pids, tid_name, topn, steps=steps)

@@ -35,6 +35,28 @@ def test_grid_sample_bf16_operand_close_and_f32_out(img_grid):
     assert float(jnp.max(jnp.abs(o32 - o16))) < 4e-3
 
 
+def test_image_dtype_auto_thresholds(rng):
+    """auto = f32 below 2**19 per-device pixels, bf16 at/above (BENCH.md r4
+    A/B: bf16 loses at b3, wins at b8/b16 on the v5e)."""
+    from dynamo_depth_tpu.training.losses import _image_dtype
+
+    cfg = _cfg("auto")
+    small = jnp.zeros((3, 192, 640, 3), jnp.float32)   # 368k px: below
+    large = jnp.zeros((8, 192, 640, 3), jnp.float32)   # 983k px: above
+    assert _image_dtype(cfg, small) == jnp.float32
+    assert _image_dtype(cfg, large) == jnp.bfloat16
+    # explicit modes ignore the shape
+    assert _image_dtype(_cfg("float32"), large) == jnp.float32
+    assert _image_dtype(_cfg("bfloat16"), small) == jnp.bfloat16
+    # auto + bf16-selected operand still yields f32 output within tolerance
+    img = jnp.asarray(rng.rand(8, 64, 128, 3).astype(np.float32))  # 65k px
+    gx = rng.uniform(0, 127, (8, 64, 128)).astype(np.float32)
+    gy = rng.uniform(0, 63, (8, 64, 128)).astype(np.float32)
+    grid = jnp.asarray(np.stack([gx, gy], -1))
+    o_auto = _grid_sample(cfg, img, grid)
+    assert o_auto.dtype == jnp.float32
+
+
 def test_reprojection_loss_unaffected_by_image_dtype(rng):
     # the photometric pipeline deliberately stays float32 (bf16 SSIM was
     # measured at ~7% relative per-pixel error — see losses.py)

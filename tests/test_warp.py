@@ -107,10 +107,13 @@ def _gather_slice_sizes(jaxpr):
 
 
 def test_grid_sample_auto_dispatch(monkeypatch):
-    """DYNAMO_WARP=auto routes <=2^20-pixel operands to tappack ((1,1,4C)
-    gather) and larger ones to halo ((1,1,16C) cell gather) — the measured
-    crossover from BENCH.md's batch A/B (tappack wins at batch 3/8, halo at
-    batch 16 for 192x640). Pin the dispatch so defaults can't silently flip."""
+    """DYNAMO_WARP=auto routes small packed-operand working sets to tappack
+    ((1,1,4C) gather) and larger ones to halo ((1,1,16C) cell gather), with
+    the threshold in BYTES (B*H*W*itemsize <= 2**22): the measured crossover
+    from BENCH.md's batch A/B — f32 tappack wins at batch 3/8 and loses at
+    batch 16, while a bf16 operand halves the working set and keeps tappack
+    winning at batch 16 (462.2 vs 570.4 ms, round 4). Pin the dispatch so
+    defaults can't silently flip."""
     monkeypatch.delenv("DYNAMO_WARP", raising=False)
     C = 3
     small = jnp.zeros((1, 32, 32, C))
@@ -118,9 +121,20 @@ def test_grid_sample_auto_dispatch(monkeypatch):
     sizes = _gather_slice_sizes(jax.make_jaxpr(grid_sample)(small, sgrid).jaxpr)
     assert any(s[-1] == 4 * C for s in sizes), sizes  # tappack (1,1,4C)
 
-    big = jnp.zeros((17, 256, 256, C))  # 17*256*256 > 2**20
+    big = jnp.zeros((17, 256, 256, C))  # 17*256*256*4B > 2**22
     bgrid = jnp.zeros((17, 4, 4, 2))
     sizes = _gather_slice_sizes(jax.make_jaxpr(grid_sample)(big, bgrid).jaxpr)
+    assert any(s[-1] == 16 * C for s in sizes), sizes  # halo (1,1,16C)
+
+    # same pixel count in bf16 halves the bytes -> stays tappack
+    big16 = jnp.zeros((17, 256, 256, C), jnp.bfloat16)
+    sizes = _gather_slice_sizes(jax.make_jaxpr(grid_sample)(big16, bgrid).jaxpr)
+    assert any(s[-1] == 4 * C for s in sizes), sizes  # tappack (1,1,4C)
+
+    # 2x the bf16 pixels crosses the byte threshold -> halo
+    big16x2 = jnp.zeros((34, 256, 256, C), jnp.bfloat16)
+    bgrid2 = jnp.zeros((34, 4, 4, 2))
+    sizes = _gather_slice_sizes(jax.make_jaxpr(grid_sample)(big16x2, bgrid2).jaxpr)
     assert any(s[-1] == 16 * C for s in sizes), sizes  # halo (1,1,16C)
 
 
