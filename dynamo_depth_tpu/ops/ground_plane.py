@@ -28,6 +28,17 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# All contractions here pin full-fp32 precision: on TPU the f32 matmul
+# default is bf16-ish, and the 5-point normal-equation solve (AtA entries
+# O(1e2), regularizer 1e-6) loses the plane outright in bf16 — caught round
+# 4 by scripts/grad_compare.py (d_ground differed 81% CPU-vs-TPU on an
+# identical step while every other loss term matched to 0.0%, BENCH.md).
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=_HI)
+
 
 def _plane_AB(points, vertical_axis=1):
     """Split points (..., 3) into design matrix A (..., 3)=[x, z, 1] and target
@@ -74,21 +85,21 @@ def ground_plane_fit(
     At = jnp.swapaxes(A, 1, 2)
     # NOTE: the reference adds the scalar 1e-6 to every entry of AtA (not to
     # the diagonal) — tools.py:152; replicated for parity.
-    w = jnp.linalg.inv(At @ A + 1e-6) @ At @ b  # (BM, 3, 1)
+    w = _mm(_mm(jnp.linalg.inv(_mm(At, A) + 1e-6), At), b)  # (BM, 3, 1)
 
     # Score every hypothesis against the candidate set.
     Ac, bc = _plane_AB(candidates, vertical_axis)  # (B, N, 3), (B, N, 1)
     w_b = w.reshape(B, max_it, 3)
     if score_mode == "per_batch":
         # dist[b, m, n] = A[b, n, :] . w[b, m, :] - y[b, n]
-        dist = jnp.einsum("bnk,bmk->bmn", Ac, w_b) - bc[:, None, :, 0]
+        dist = jnp.einsum("bnk,bmk->bmn", Ac, w_b, precision=_HI) - bc[:, None, :, 0]
         inlier_frac = jnp.mean((jnp.abs(dist) < tol).astype(points.dtype), axis=2)  # (B, M)
     elif score_mode == "reference":
         # Reference pairing (tools.py:130-133): flat hypothesis i = b*max_it+m
         # is scored against batch element i % B.
         pair = jnp.arange(B * max_it) % B
         Ap, bp = Ac[pair], bc[pair]  # (BM, N, 3), (BM, N, 1)
-        dist = jnp.einsum("ink,ik->in", Ap, w.reshape(B * max_it, 3)) - bp[..., 0]
+        dist = jnp.einsum("ink,ik->in", Ap, w.reshape(B * max_it, 3), precision=_HI) - bp[..., 0]
         inlier_frac = jnp.mean(
             (jnp.abs(dist) < tol).astype(points.dtype), axis=1
         ).reshape(B, max_it)
@@ -99,7 +110,7 @@ def ground_plane_fit(
 
     # Distance of every pixel to its best plane.
     Aall, ball = _plane_AB(points.reshape(B, H * W, 3), vertical_axis)
-    d = jnp.einsum("bnk,bk->bn", Aall, best_w) - ball[..., 0]
+    d = jnp.einsum("bnk,bk->bn", Aall, best_w, precision=_HI) - ball[..., 0]
     d = d.reshape(B, H, W, 1)
 
     return jax.lax.stop_gradient(d), jax.lax.stop_gradient(best_w[..., None])

@@ -202,8 +202,23 @@ def process_ground(cfg, inputs, outputs, scale, rng):
     pix = pixel_grid(h, w)
     rays = jnp.einsum("bij,nj->bni", inv_K[:, :3, :3], pix, precision=jax.lax.Precision.HIGHEST)
     vx, vy, vz = rays[..., 0], rays[..., 1], rays[..., 2]
-    ground_depth = (w3 / (vy - vx * w1 - vz * w2)).reshape(B, h, w, 1)
-    invalid = (ground_depth < 0) | (ground_depth > cfg.max_depth)
+    # NaN-safe division (double-where): a ray parallel to the fitted plane
+    # gives denom ~ 0 — w3/0 = +-inf is caught by the range check below, but
+    # 0/0 = NaN is NOT (NaN compares false), and even a where() on the
+    # result still leaks NaN through the *gradient* of the untaken branch.
+    # Caught live: two NaN d_ground val losses in the round-4 TPU bf16
+    # convergence arm (BENCH.md). The reference's in-place masked assign has
+    # the same latent hole (Trainer.py:458-459); semantics only diverge on
+    # degenerate fits where the reference NaNs out.
+    denom = vy - vx * w1 - vz * w2
+    degenerate = jnp.abs(denom) < 1e-12
+    safe_denom = jnp.where(degenerate, 1.0, denom)
+    ground_depth = jnp.where(degenerate, cfg.max_depth + 1.0, w3 / safe_denom)
+    ground_depth = ground_depth.reshape(B, h, w, 1)
+    # ~(x > 0) also catches NaN (compares false) and exactly-0 depth, whose
+    # depth_to_disp is inf (plane through the camera center — the reference's
+    # `< 0` check lets it through and the loss is +-inf there).
+    invalid = ~(ground_depth > 0) | (ground_depth > cfg.max_depth)
     ground_depth = jnp.where(invalid, cfg.max_depth, ground_depth)
     ground_disp = depth_to_disp(ground_depth, cfg.min_depth, cfg.max_depth)
 
