@@ -256,8 +256,10 @@ def run_one(compute_dtype, data_root, splits_dir, args):
         # global_batch * epoch_size filenames, data/loader.py:28-33).
         epoch_size=args.steps_per_epoch,
         epoch_schedules=epochs, log_frequency=args.val_every,
-        no_train_vis=True, num_devices=0, num_workers=2,
-        log_dir=osp.join(args.out, "logs"), model_name=f"conv_{compute_dtype}",
+        no_train_vis=True, num_devices=0, num_workers=2, seed=args.seed,
+        log_dir=osp.join(args.out, "logs"),
+        model_name=f"conv_{compute_dtype}"
+        + (f"_seed{args.seed}" if args.seed else ""),
     )
 
     class RecordingTrainer(Trainer):
@@ -324,6 +326,9 @@ def main():
                     help="learning rate (identical across dtype arms; raise "
                          "to make depth move within a short synthetic budget)")
     ap.add_argument("--dtypes", nargs="+", default=["float32", "bfloat16"])
+    ap.add_argument("--seed", type=int, default=0,
+                    help="model-init/augmentation seed (basin-sensitivity "
+                         "controls, BENCH.md round-4 TPU-arm study)")
     ap.add_argument("--device_batch_cache", type=int, default=0,
                     help="transfer only this many distinct batches per epoch "
                          "and cycle them on-device (bounds the axon host-RAM "

@@ -38,11 +38,21 @@ def run(args):
     from dynamo_depth_tpu.training.trainer import Trainer, partition_params
     from __graft_entry__ import _synthetic_batch
 
+    kwargs = {}
+    if args.data_path:
+        # Real rendered-scene batch (scripts/bf16_convergence.py layout):
+        # deterministic first-train-filenames collate, no augmentation jitter
+        # beyond the dataset's deterministic pipeline.
+        os.environ["DYNAMO_SPLITS_DIR"] = osp.join(args.data_path, "splits")
+        kwargs = dict(dataset="kitti", split="synth",
+                      data_path=args.data_path + "/")
+    else:
+        kwargs = dict(dataset="kitti")
     cfg = DynamoConfig(
-        dataset="kitti", depth_model=args.depth_model, height=args.height,
+        depth_model=args.depth_model, height=args.height,
         width=args.width, batch_size=args.batch_size,
         compute_dtype=args.compute_dtype, no_train_vis=True, num_devices=1,
-        seed=0,
+        seed=0, **kwargs,
     )
     trainer = Trainer(cfg)
     built = trainer._build_phase(args.phase, steps_per_epoch=100)
@@ -51,9 +61,19 @@ def run(args):
     )
     batch_stats = trainer.variables.get("batch_stats", {})
     opt_state = built["tx"].init(t_params)
-    batch = trainer.put_batch(
-        _synthetic_batch(cfg, trainer.global_B, cfg.height, cfg.width)
-    )
+    if args.data_path:
+        from dynamo_depth_tpu.data.loader import collate
+        from dynamo_depth_tpu.data.splits import read_split
+
+        filenames = read_split(cfg.split, "train")[: cfg.batch_size]
+        ds = trainer.get_dataset(filenames, is_train=False)  # deterministic
+        raw = collate([ds.get_item(i) for i in range(len(filenames))])
+        raw = trainer._train_keys_only(raw)
+        batch = trainer.put_batch(raw)
+    else:
+        batch = trainer.put_batch(
+            _synthetic_batch(cfg, trainer.global_B, cfg.height, cfg.width)
+        )
 
     before = jax.tree.map(jnp.array, t_params)  # step donates buffers
     new_t, _, _, losses = built["step_fn"](
@@ -109,6 +129,9 @@ def main():
     ap.add_argument("--batch_size", type=int, default=6)
     ap.add_argument("--compute_dtype", default="float32")
     ap.add_argument("--step_in_phase", type=int, default=50)
+    ap.add_argument("--data_path", default=None,
+                    help="rendered-scene root (bf16_convergence --out/data); "
+                         "loads a real deterministic batch instead of noise")
     ap.add_argument("--out", default="/tmp/grad_compare.json")
     ap.add_argument("--diff", nargs=2, default=None)
     args = ap.parse_args()
