@@ -40,6 +40,31 @@ def _mm(a, b):
     return jnp.matmul(a, b, precision=_HI)
 
 
+def _inv3x3(m):
+    """Closed-form adjugate inverse of a (..., 3, 3) batch.
+
+    ``jnp.linalg.inv`` lowers to LU custom-calls + triangular solves that
+    cost 5.5 ms/step at batch 8 on the v5e for these tiny matrices (profile
+    attribution, BENCH.md round 4); the adjugate form is pure elementwise
+    math that XLA fuses away. fp32-exact enough for the RANSAC normal
+    equations (parity pinned at atol=1e-4 by
+    tests/test_reference_parity.py::test_ground_plane_reference_score_mode_full_parity).
+    """
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    co_a = e * i - f * h
+    co_b = f * g - d * i
+    co_c = d * h - e * g
+    det = a * co_a + b * co_b + c * co_c
+    adj = jnp.stack([
+        jnp.stack([co_a, c * h - b * i, b * f - c * e], axis=-1),
+        jnp.stack([co_b, a * i - c * g, c * d - a * f], axis=-1),
+        jnp.stack([co_c, b * g - a * h, a * e - b * d], axis=-1),
+    ], axis=-2)
+    return adj / det[..., None, None]
+
+
 def _plane_AB(points, vertical_axis=1):
     """Split points (..., 3) into design matrix A (..., 3)=[x, z, 1] and target
     b (..., 1)=y for the plane model y = w1*x + w2*z + w3 (tools.py:156-164)."""
@@ -85,7 +110,7 @@ def ground_plane_fit(
     At = jnp.swapaxes(A, 1, 2)
     # NOTE: the reference adds the scalar 1e-6 to every entry of AtA (not to
     # the diagonal) — tools.py:152; replicated for parity.
-    w = _mm(_mm(jnp.linalg.inv(_mm(At, A) + 1e-6), At), b)  # (BM, 3, 1)
+    w = _mm(_mm(_inv3x3(_mm(At, A) + 1e-6), At), b)  # (BM, 3, 1)
 
     # Score every hypothesis against the candidate set.
     Ac, bc = _plane_AB(candidates, vertical_axis)  # (B, N, 3), (B, N, 1)
