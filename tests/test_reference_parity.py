@@ -178,6 +178,19 @@ def test_depth_metrics_parity_vs_reference_module(rng):
                 assert float(osum) == pytest.approx(gsum, rel=2e-3, abs=2e-3), (name, lbl)
 
 
+def test_inv3x3_matches_lu_inverse(rng):
+    """ground_plane._inv3x3 (closed-form adjugate, replaces the LU
+    custom-calls that cost 5.5 ms/step on the v5e — BENCH.md round 4) must
+    match numpy's inverse on RANSAC-shaped normal-equation matrices."""
+    from dynamo_depth_tpu.ops.ground_plane import _inv3x3
+
+    A = rng.randn(400, 5, 3).astype(np.float32)
+    m = np.einsum("bni,bnj->bij", A, A) + 1e-6  # AtA + reg, as in the solve
+    ref = np.linalg.inv(m.astype(np.float64))
+    got = np.asarray(_inv3x3(jnp.asarray(m)))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=1e-6)
+
+
 def test_ground_plane_deterministic_parts_parity(rng):
     """RANSAC sampling differs (host numpy vs jax PRNG), but the plane
     least-squares solve and distance computation must match exactly."""
