@@ -11,17 +11,23 @@ Baseline: the reference publishes no throughput numbers (SURVEY §6). The
 reference node at ~20 examples/s total (batch 3/GPU, per the README hardware
 note); the north-star target is >4x that on a v5e-8 (BASELINE.md).
 
-By default measures BOTH the recipe batch (3) and the measured per-example
-sweet spot (8, BENCH.md) and emits the best honest number; pass
-``--batch_size N`` to measure a single configuration.
+By default measures the measured per-example sweet spot (8, BENCH.md) first,
+then the recipe batch (3), and emits the best honest number; pass
+``--batch_size N`` to measure a single configuration. Each leg runs in a
+subprocess bounded by the remaining wall-clock budget (DYNAMO_BENCH_BUDGET,
+default 540 s — under the driver's 600 s timeout); legs that don't fit are
+skipped with a message.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} — always,
+even on SIGTERM, from the best *completed* leg.
 """
 
 import json
 import os
+import signal
 import subprocess
 import sys
+import tempfile
 import time
 
 import numpy as np
@@ -179,9 +185,90 @@ def measure(args, batch_size):
     }
 
 
+# Minimum wall-clock worth starting a leg with. A warm leg is ~60-90 s
+# (trainer init + cached-executable load + 64 timed steps); a cold compile
+# is minutes and must be bounded, not trusted.
+MIN_LEG_S = 60.0
+
+_emitted = False
+
+
+def emit_contract(args, results, error=None):
+    """Print the ONE stdout JSON contract line — exactly once.
+
+    Called from the normal exit path, the finally block, and the SIGTERM
+    handler, so a driver timeout (rc=124) can no longer leave parsed=null
+    when at least one leg finished (round-4 VERDICT item 1: BENCH_r04.json
+    died between the b3 and b8 legs with no contract line)."""
+    global _emitted
+    if _emitted:
+        return
+    _emitted = True
+    if results:
+        best = max(results, key=lambda r: r["examples_per_sec"])
+        line = {
+            "metric": (f"kitti_litemono_fine_tune_train_throughput_"
+                       f"{args.compute_dtype}_b{best['batch_size']}"),
+            "value": round(best["examples_per_sec"], 2),
+            "unit": "examples/s",
+            "vs_baseline": round(
+                best["examples_per_sec"] / REFERENCE_NODE_EXAMPLES_PER_SEC, 3),
+        }
+    else:
+        line = {
+            "metric": (f"kitti_litemono_fine_tune_train_throughput_"
+                       f"{args.compute_dtype}"),
+            "value": None, "unit": "examples/s", "vs_baseline": None,
+            "error": error or "no measurement leg completed",
+        }
+    print(json.dumps(line))
+    sys.stdout.flush()
+
+
+def run_leg(args, batch_size, timeout_s):
+    """Run one measurement leg in a subprocess bounded by ``timeout_s``.
+
+    Same budget discipline as the dryrun flagship arm
+    (__graft_entry__.py::dryrun_multichip): a timeout is a SKIP (returns
+    None after an explicit message), a crash is a loud skip, a completed
+    leg hands back its result dict via a temp file. Progress streams
+    through inherited stdio."""
+    fd, out_path = tempfile.mkstemp(suffix=".json", prefix="bench_leg_")
+    os.close(fd)
+    cmd = [
+        sys.executable, os.path.abspath(__file__),
+        "--batch_size", str(batch_size), "--leg_out", out_path,
+        "--compute_dtype", args.compute_dtype,
+        "--image_dtype", args.image_dtype,
+        "--depth_model", args.depth_model,
+    ]
+    if args.profile_dir:
+        cmd += ["--profile_dir", args.profile_dir]
+    try:
+        proc = subprocess.run(cmd, timeout=timeout_s, env=os.environ.copy())
+        if proc.returncode != 0:
+            print(f"[bench] b{batch_size} leg FAILED (rc={proc.returncode}) "
+                  "- continuing to remaining legs", file=sys.stderr)
+            return None
+        with open(out_path) as f:
+            return json.load(f)
+    except subprocess.TimeoutExpired:
+        print(f"[bench] b{batch_size} leg skipped: exceeded its "
+              f"{timeout_s:.0f}s budget slice (cold compile? warm "
+              f"/tmp/jax_cache with `python bench.py --batch_size "
+              f"{batch_size}`)", file=sys.stderr)
+        return None
+    finally:
+        try:
+            os.unlink(out_path)
+        except OSError:
+            pass
+
+
 def main():
     import argparse
 
+    t0 = time.monotonic()
     ap = argparse.ArgumentParser()
     ap.add_argument("--compute_dtype", default="bfloat16", choices=["float32", "bfloat16"])
     ap.add_argument("--image_dtype", default="auto",
@@ -190,35 +277,73 @@ def main():
                          "auto = bf16 for per-device operands >= 2**19 px")
     ap.add_argument("--batch_size", type=int, default=None,
                     help="single batch size to measure; default measures the "
-                         "recipe batch (3) and the sweet spot (8), reporting "
-                         "the best")
+                         "headline sweet spot (8) then the recipe batch (3), "
+                         "reporting the best completed leg")
     ap.add_argument("--depth_model", default="litemono")
     ap.add_argument("--profile_dir", default=None,
                     help="capture a jax.profiler trace of the timed steps")
     ap.add_argument("--probe_window", type=float,
-                    default=float(os.environ.get("DYNAMO_BENCH_PROBE_WINDOW", "480")))
+                    default=float(os.environ.get("DYNAMO_BENCH_PROBE_WINDOW", "240")))
+    ap.add_argument("--budget", type=float,
+                    default=float(os.environ.get("DYNAMO_BENCH_BUDGET", "540")),
+                    help="total wall-clock budget (s), sized under the "
+                         "driver's 600 s timeout; legs that don't fit are "
+                         "skipped and the best completed leg is reported")
+    ap.add_argument("--leg_out", default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
 
+    if args.leg_out:
+        # Child mode: one in-process measurement, result to the temp file.
+        # The parent already probed the backend and bounds us with a timeout.
+        result = measure(args, args.batch_size)
+        with open(args.leg_out, "w") as f:
+            json.dump(result, f)
+        return
+
+    results = []
+
+    def on_term(signum, frame):
+        # GNU timeout SIGTERMs our process group: emit the contract line
+        # from whatever completed before dying, so the driver's parsed
+        # field survives an rc=124.
+        print(f"[bench] caught signal {signum}; emitting best completed leg",
+              file=sys.stderr)
+        emit_contract(args, results, error=f"killed by signal {signum}")
+        os._exit(1 if not results else 0)
+
+    signal.signal(signal.SIGTERM, on_term)
+
     try:
-        wait_for_backend(window_s=args.probe_window)
+        # Cap the probe window so a flaky-tunnel retry loop cannot eat the
+        # whole leg budget.
+        wait_for_backend(window_s=min(args.probe_window, args.budget - 2 * MIN_LEG_S))
     except RuntimeError as e:
-        print(json.dumps({
-            "metric": f"kitti_litemono_fine_tune_train_throughput_{args.compute_dtype}",
-            "value": None, "unit": "examples/s", "vs_baseline": None,
-            "error": str(e),
-        }))
+        emit_contract(args, [], error=str(e))
         sys.exit(1)
 
-    batches = [args.batch_size] if args.batch_size else [3, 8]
-    results = [measure(args, b) for b in batches]
-    best = max(results, key=lambda r: r["examples_per_sec"])
-    print(json.dumps({
-        "metric": (f"kitti_litemono_fine_tune_train_throughput_"
-                   f"{args.compute_dtype}_b{best['batch_size']}"),
-        "value": round(best["examples_per_sec"], 2),
-        "unit": "examples/s",
-        "vs_baseline": round(best["examples_per_sec"] / REFERENCE_NODE_EXAMPLES_PER_SEC, 3),
-    }))
+    # Headline (b8, the BENCH.md sweet spot) FIRST so a budget kill during
+    # a later leg still records the number that matters. Each leg's slice
+    # reserves LEG_RESERVE_S per *remaining* leg, so one cold compile
+    # cannot starve every later leg (a cold 192x640 b8 server-side compile
+    # measures > 9 min — more than the whole driver window).
+    LEG_RESERVE_S = 150.0
+    batches = [args.batch_size] if args.batch_size else [8, 3]
+    try:
+        for i, b in enumerate(batches):
+            remaining = args.budget - (time.monotonic() - t0)
+            if remaining < MIN_LEG_S:
+                print(f"[bench] b{b} leg skipped: only {remaining:.0f}s of the "
+                      f"{args.budget:.0f}s budget left", file=sys.stderr)
+                continue
+            legs_after = len(batches) - i - 1
+            slice_s = max(MIN_LEG_S, remaining - LEG_RESERVE_S * legs_after)
+            r = run_leg(args, b, timeout_s=slice_s)
+            if r is not None:
+                results.append(r)
+    finally:
+        emit_contract(args, results)
+    if not results:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

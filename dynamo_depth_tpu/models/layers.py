@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import flax.linen as nn
@@ -46,6 +47,57 @@ class ConvBlock(nn.Module):
     def __call__(self, x):
         x = Conv3x3(self.out_channels, dtype=self.dtype, name="conv")(x)
         return nn.elu(x)
+
+
+def _stem_pad_to() -> int:
+    """Trace-time knob for :class:`PadChannelConv` (``DYNAMO_PAD_STEM``).
+
+    ``0`` disables the padding (bit-identical to ``nn.Conv``); any other
+    value pads the stem conv's input/kernel channel axis up to that multiple.
+    Read at trace time like ``DYNAMO_MAXPOOL``/``DYNAMO_WARP``.
+    """
+    return int(os.environ.get("DYNAMO_PAD_STEM", "0") or 0)
+
+
+class PadChannelConv(nn.Module):
+    """``nn.Conv(features, (k, k), stride, use_bias=False)`` whose input AND
+    kernel channel axes are zero-padded to a multiple of ``DYNAMO_PAD_STEM``
+    at call time.
+
+    Motivation (BENCH.md round-4 b8 profile): the 3/6/9-channel first-layer
+    convs of the stacked-frame encoders leave XLA's weight-grad ``copy_add``
+    re-tilings on oddly-tiled f32[7,7,9,64] accumulators (3.2 ms/step over
+    the stem convs) plus ~0.36 ms/step of input relayouts. Padding both
+    operands to an 8/16-multiple channel axis keeps every tile fully
+    occupied while the *parameter* keeps its logical (k, k, C, features)
+    shape — checkpoints, the torch converter, and init are all unchanged,
+    and the math is exactly identical (zero input channels meet zero kernel
+    rows; the pad VJP slices the padded weight grad back down).
+    """
+
+    features: int
+    kernel: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k, cin = self.kernel, x.shape[-1]
+        w = self.param(
+            "kernel", nn.initializers.lecun_normal(), (k, k, cin, self.features), jnp.float32
+        )
+        pad_to = _stem_pad_to()
+        pad_c = (-cin) % pad_to if pad_to else 0
+        if pad_c:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, pad_c)))
+            w = jnp.pad(w, ((0, 0), (0, 0), (0, pad_c), (0, 0)))
+        x = x.astype(self.dtype)
+        w = w.astype(self.dtype)
+        p = (k - 1) // 2
+        return jax.lax.conv_general_dilated(
+            x, w, (self.stride, self.stride), ((p, p), (p, p)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=prec(self.dtype),
+        )
 
 
 class DropPath(nn.Module):

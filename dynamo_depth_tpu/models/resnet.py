@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dynamo_depth_tpu.models.layers import normalize_image, prec
+from dynamo_depth_tpu.models.layers import PadChannelConv, normalize_image, prec
 
 _BLOCKS = {18: [2, 2, 2, 2], 34: [3, 4, 6, 3], 50: [3, 4, 6, 3], 101: [3, 4, 23, 3], 152: [3, 8, 36, 3]}
 _BOTTLENECK = {18: False, 34: False, 50: True, 101: True, 152: True}
@@ -157,7 +157,10 @@ class ResnetEncoder(nn.Module):
         expansion = 4 if _BOTTLENECK[self.num_layers] else 1
 
         x = normalize_image(x).astype(self.dtype)
-        x = _conv(64, 7, 2, "conv1", self.dtype)(x)
+        # conv1 consumes the 3/6/9-channel stacked-frame input; PadChannelConv
+        # optionally (DYNAMO_PAD_STEM) pads its channel axis to a tile-friendly
+        # multiple with identical math and an unchanged param shape.
+        x = PadChannelConv(64, 7, 2, dtype=self.dtype, name="conv1")(x)
         x = _bn(self.dtype, "bn1")(x, train)
         features = [nn.relu(x)]
 

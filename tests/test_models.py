@@ -255,3 +255,38 @@ def test_positional_encoding_fourier_matches_torch_golden(rng):
     np.testing.assert_allclose(
         np.asarray(ours), np.moveaxis(gold.numpy(), 1, -1), atol=1e-4
     )
+
+
+def test_pad_stem_conv_is_exact(monkeypatch):
+    """DYNAMO_PAD_STEM zero-pads the stem conv's input+kernel channels to a
+    tile multiple (BENCH.md round-4 copy_add item). The param keeps its
+    logical (7,7,C,64) shape and the math must be exact up to fp32
+    recompilation jitter (the padded program fuses/reduces in a different
+    order): value AND gradient vs the unpadded form for the 6ch (pose) and
+    9ch (motion) stacked-frame inputs."""
+    from dynamo_depth_tpu.models.resnet import ResnetEncoder
+
+    rng = np.random.RandomState(0)
+    for n_img in (2, 3):
+        enc = ResnetEncoder(num_layers=18, num_input_images=n_img)
+        x = jnp.asarray(rng.rand(2, 32, 48, 3 * n_img).astype(np.float32))
+
+        monkeypatch.delenv("DYNAMO_PAD_STEM", raising=False)
+        params = enc.init(jax.random.PRNGKey(0), x, train=False)
+        assert params["params"]["conv1"]["kernel"].shape == (7, 7, 3 * n_img, 64)
+
+        def loss(p, _enc=enc, _x=x):
+            return sum(jnp.sum(f) for f in _enc.apply(p, _x, train=False))
+
+        base_v, base_g = jax.value_and_grad(loss)(params)
+
+        monkeypatch.setenv("DYNAMO_PAD_STEM", "16")
+        pad_v, pad_g = jax.value_and_grad(loss)(params)
+
+        np.testing.assert_allclose(np.asarray(pad_v), np.asarray(base_v), rtol=1e-6)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+            ),
+            pad_g, base_g,
+        )
