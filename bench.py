@@ -96,6 +96,7 @@ def measure(args, batch_size):
     cfg = DynamoConfig(
         dataset="kitti", depth_model=args.depth_model, batch_size=batch_size,
         compute_dtype=args.compute_dtype, image_dtype=args.image_dtype,
+        height=args.height, width=args.width,
         no_train_vis=True, num_devices=0,
     )
     trainer = Trainer(cfg)
@@ -242,6 +243,10 @@ def run_leg(args, batch_size, timeout_s):
         "--image_dtype", args.image_dtype,
         "--depth_model", args.depth_model,
     ]
+    if args.height:
+        cmd += ["--height", str(args.height)]
+    if args.width:
+        cmd += ["--width", str(args.width)]
     if args.profile_dir:
         cmd += ["--profile_dir", args.profile_dir]
     try:
@@ -280,6 +285,10 @@ def main():
                          "headline sweet spot (8) then the recipe batch (3), "
                          "reporting the best completed leg")
     ap.add_argument("--depth_model", default="litemono")
+    ap.add_argument("--height", type=int, default=None,
+                    help="override the dataset training height (default 192)")
+    ap.add_argument("--width", type=int, default=None,
+                    help="override the dataset training width (default 640)")
     ap.add_argument("--profile_dir", default=None,
                     help="capture a jax.profiler trace of the timed steps")
     ap.add_argument("--probe_window", type=float,

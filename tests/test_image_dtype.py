@@ -57,6 +57,69 @@ def test_image_dtype_auto_thresholds(rng):
     assert o_auto.dtype == jnp.float32
 
 
+def test_full_loss_bf16_operand_close_at_b8_shape(rng):
+    """Full view_synthesis + compute_losses with f32 vs bf16 warp operands at
+    the bench b8 operand shape (8x192x640 = 983k px — the headline config
+    where ``auto`` selects bf16; VERDICT r4 item 8). Scales trimmed to [0, 1]
+    and RANSAC ground off to keep the CPU test bounded — neither touches the
+    warp operand. The only bf16 quantization in the stack is the gather
+    operand (<= 1/255 ~ 4e-3 per pixel), so the assembled loss must agree to
+    well under the photometric term's own magnitude."""
+    import jax
+    from dynamo_depth_tpu.ops.geometry import transformation_from_parameters
+    from dynamo_depth_tpu.training.losses import compute_losses, view_synthesis
+
+    B, H, W = 8, 192, 640
+    scales, sources = [0, 1], [-1, 1]
+    inputs, outputs = {}, {}
+    for f in [0] + sources:
+        inputs[("color", f, 0)] = rng.rand(B, H, W, 3).astype(np.float32)
+        inputs[("ts", f)] = np.ones(B, np.float32)
+    K = np.array([[0.58, 0, 0.5, 0], [0, 1.92, 0.5, 0],
+                  [0, 0, 1, 0], [0, 0, 0, 1]], np.float32)
+    for s in scales:
+        h, w = H // 2 ** s, W // 2 ** s
+        if s > 0:
+            inputs[("color", 0, s)] = rng.rand(B, h, w, 3).astype(np.float32)
+        Ks = K.copy()
+        Ks[0] *= w
+        Ks[1] *= h
+        inputs[("K", s)] = np.broadcast_to(Ks, (B, 4, 4)).copy()
+        inputs[("inv_K", s)] = np.broadcast_to(np.linalg.pinv(Ks), (B, 4, 4)).copy()
+        outputs[("disp", 0, s)] = (rng.rand(B, h, w, 1) * 0.3 + 0.02).astype(np.float32)
+        for f in sources:
+            outputs[("complete_flow", f, s)] = (rng.randn(B, h, w, 3) * 0.05).astype(np.float32)
+            prob = (rng.randn(B, h, w, 1) * 2).astype(np.float32)
+            outputs[("motion_prob", f, s)] = prob
+            outputs[("motion_mask", f, s)] = 1 / (1 + np.exp(-prob))
+    for f in sources:
+        aa = (rng.randn(B, 3) * 0.02).astype(np.float32)
+        tr = (rng.randn(B, 3) * 0.1).astype(np.float32)
+        outputs[("cam_T_cam", 0, f)] = np.asarray(
+            transformation_from_parameters(jnp.asarray(aa), jnp.asarray(tr), invert=True)
+        )
+
+    inputs = {k: jnp.asarray(v) for k, v in inputs.items()}
+    totals = {}
+    for mode in ("float32", "bfloat16"):
+        cfg = DynamoConfig(
+            dataset="kitti", height=H, width=W, scales=scales,
+            image_dtype=mode, g_d_ground=0.0, no_train_vis=True,
+        )
+        outs = {k: jnp.asarray(v) for k, v in outputs.items()}
+        view_synthesis(cfg, inputs, outs,
+                       bool_CmpFlow=True, bool_MotMask=True, automask=False)
+        assert outs[("color", sources[0], 0)].dtype == jnp.float32
+        losses = compute_losses(
+            cfg, inputs, outs, jax.random.PRNGKey(0),
+            bool_CmpFlow=True, bool_MotMask=True, automask=False,
+            trainable_networks=("Depth", "Pose", "CmpFlow", "MotMask"),
+            step_in_phase=jnp.int32(1000), steps_per_epoch=100,
+        )
+        totals[mode] = float(losses["loss"])
+    assert totals["bfloat16"] == pytest.approx(totals["float32"], rel=5e-3, abs=2e-3)
+
+
 def test_reprojection_loss_unaffected_by_image_dtype(rng):
     # the photometric pipeline deliberately stays float32 (bf16 SSIM was
     # measured at ~7% relative per-pixel error — see losses.py)
