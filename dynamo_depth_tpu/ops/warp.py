@@ -87,6 +87,10 @@ def grid_sample(image, grid):
     if mode == "auto":
         itemsize = jnp.dtype(image.dtype).itemsize
         mode = "tappack" if B * H * W * itemsize <= 2**22 else "halo"
+    if mode == "tappack16" and H >= 2 and W >= 2:
+        return _grid_sample_tappack(image, grid, pad16=True)
+    if mode == "tappackflat" and H >= 2 and W >= 2:
+        return _grid_sample_tappack(image, grid, flat=True)
     if mode == "tappack" and H >= 2 and W >= 2:
         return _grid_sample_tappack(image, grid)
     if mode == "halo" and H >= 2 and W >= 2:
@@ -192,35 +196,62 @@ def _grid_sample_halo(image, grid):
     return out.reshape(B, Ho, Wo, C)
 
 
-def _grid_sample_tappack(image, grid):
+def _grid_sample_tappack(image, grid, pad16=False, flat=False):
     """Production formulation below ~1M operand pixels (``auto``): pack
     each pixel's OWN 2x2 edge-clamped patch into ``(B, H, W, 4C)`` (4
     shifted views, one concat), so tap origin (y0, x0) is one pointwise
     (1, 1, 4C) gather at (y0, x0) followed by a direct 2x2 lerp — no
     one-hot window weights. Same packed bytes as ``_halo_pack`` (4x the
     image) but a plain lerp consumer; measured in-step 97.7 vs halo's
-    114.3 ms at batch 3, 220.5 vs 276.6 at batch 8 (BENCH.md)."""
+    114.3 ms at batch 3, 220.5 vs 276.6 at batch 8 (BENCH.md).
+
+    ``pad16`` (``DYNAMO_WARP=tappack16``): zero-pad C=3 to 4 before packing
+    so every gather reads an aligned power-of-two (1, 1, 16) slice instead
+    of a 12-lane read that straddles a 128-lane tile boundary for ~9% of x
+    positions — an alignment-vs-bytes (+33%) A/B (round-5, BENCH.md).
+    ``flat`` (``DYNAMO_WARP=tappackflat``): gather from the row-major
+    (H*W, 4C) view with a single flattened index — probes whether the
+    rank-2 operand lowers to a better TPU gather than the rank-3 form."""
     B, H, W, C = image.shape
     _, Ho, Wo, _ = grid.shape
     P = Ho * Wo
     x0, y0, wx, wy = _sample_coords(image, grid)
 
+    if pad16 and C == 3:
+        image = jnp.pad(image, ((0, 0), (0, 0), (0, 0), (0, 1)))
+        Cp = 4
+    else:
+        Cp = C
     xp = jnp.pad(image, ((0, 0), (0, 1), (0, 1), (0, 0)), mode="edge")
     packed = jnp.concatenate(
         [xp[:, r:r + H, c:c + W] for r in (0, 1) for c in (0, 1)], axis=-1
-    )  # (B, H, W, 4C): [v00, v01, v10, v11] per pixel
+    )  # (B, H, W, 4Cp): [v00, v01, v10, v11] per pixel
 
-    starts = jnp.stack(
-        [y0.reshape(B, P), x0.reshape(B, P)], axis=-1
-    ).astype(jnp.int32)
-    dnums = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1,), collapsed_slice_dims=(0, 1), start_index_map=(0, 1),
-    )
+    if flat:
+        flat_idx = (y0.reshape(B, P) * W + x0.reshape(B, P)).astype(jnp.int32)
+        starts = flat_idx[..., None]  # (B, P, 1)
+        dnums = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,),
+        )
 
-    def one(img, st):
-        return jax.lax.gather(img, st, dnums, slice_sizes=(1, 1, 4 * C))  # (P, 4C)
+        def one(img, st):
+            return jax.lax.gather(
+                img.reshape(H * W, 4 * Cp), st, dnums,
+                slice_sizes=(1, 4 * Cp),
+            )  # (P, 4Cp)
 
-    taps = jax.vmap(one)(packed, starts).reshape(B, P, 4, C)
+    else:
+        starts = jnp.stack(
+            [y0.reshape(B, P), x0.reshape(B, P)], axis=-1
+        ).astype(jnp.int32)
+        dnums = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(0, 1), start_index_map=(0, 1),
+        )
+
+        def one(img, st):
+            return jax.lax.gather(img, st, dnums, slice_sizes=(1, 1, 4 * Cp))  # (P, 4Cp)
+
+    taps = jax.vmap(one)(packed, starts).reshape(B, P, 4, Cp)[..., :C]
     v00, v01, v10, v11 = taps[:, :, 0], taps[:, :, 1], taps[:, :, 2], taps[:, :, 3]
     wxf = wx.reshape(B, P, 1)
     wyf = wy.reshape(B, P, 1)

@@ -80,7 +80,7 @@ def test_grid_sample_halo_matches_patch_and_torch(rng, monkeypatch, shape):
         return np.asarray(y), np.asarray(gi), np.asarray(gg)
 
     y_h, gi_h, gg_h = run("halo")
-    for alt in ("patch", "tappack"):
+    for alt in ("patch", "tappack", "tappack16", "tappackflat"):
         y_p, gi_p, gg_p = run(alt)
         np.testing.assert_allclose(y_h, y_p, atol=1e-6)
         np.testing.assert_allclose(gi_h, gi_p, atol=1e-5)
