@@ -37,19 +37,21 @@ def _image_dtype(cfg, image=None):
     """Warp-gather operand storage dtype.
 
     ``auto`` (default) picks bf16 only for large per-device operands: the
-    same-day A/B on the v5e (2026-08-19, BENCH.md round-4 table) measured
+    v5e A/Bs (BENCH.md round-4 table + round-5 knee validation) measured
     bf16 operands LOSING at batch 3 (102.7 vs 95.3 ms/step — the sub-word
     gather overhead beats the byte savings on a small working set, matching
-    the round-2 isolated probe) but WINNING at batch 8 (214.3 vs 219.7) and
-    batch 16 where the 4x packed operand is HBM-bound. Threshold 2**19
-    pixels separates the measured loss (b3: 368k) from the measured win
-    (b8: 983k)."""
+    the round-2 isolated probe), batch 6 (171.5 vs 165.0) and batch 7
+    (189.1 vs 181.5), but WINNING at batch 8 (214.3 vs 219.7) and batch 16
+    where the 4x packed operand is HBM-bound. Threshold 7*2**17 = 917504
+    pixels separates the nearest measured loss (b7: 860k) from the nearest
+    measured win (b8: 983k); round 4's 2**19 guess sat below the b6/b7
+    losses."""
     mode = getattr(cfg, "image_dtype", "auto")
     if mode == "auto":
         if image is None:
             return jnp.float32
         B, H, W = image.shape[0], image.shape[1], image.shape[2]
-        return jnp.bfloat16 if B * H * W >= 2**19 else jnp.float32
+        return jnp.bfloat16 if B * H * W >= 7 * 2**17 else jnp.float32
     return jnp.bfloat16 if mode == "bfloat16" else jnp.float32
 
 

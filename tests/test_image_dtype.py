@@ -36,14 +36,17 @@ def test_grid_sample_bf16_operand_close_and_f32_out(img_grid):
 
 
 def test_image_dtype_auto_thresholds(rng):
-    """auto = f32 below 2**19 per-device pixels, bf16 at/above (BENCH.md r4
-    A/B: bf16 loses at b3, wins at b8/b16 on the v5e)."""
+    """auto = f32 below 7*2**17 per-device pixels, bf16 at/above (BENCH.md
+    r4 A/B + r5 knee validation: bf16 loses at b3/b6/b7, wins at b8/b16 on
+    the v5e)."""
     from dynamo_depth_tpu.training.losses import _image_dtype
 
     cfg = _cfg("auto")
     small = jnp.zeros((3, 192, 640, 3), jnp.float32)   # 368k px: below
+    mid = jnp.zeros((7, 192, 640, 3), jnp.float32)     # 860k px: still below
     large = jnp.zeros((8, 192, 640, 3), jnp.float32)   # 983k px: above
     assert _image_dtype(cfg, small) == jnp.float32
+    assert _image_dtype(cfg, mid) == jnp.float32
     assert _image_dtype(cfg, large) == jnp.bfloat16
     # explicit modes ignore the shape
     assert _image_dtype(_cfg("float32"), large) == jnp.float32
