@@ -65,9 +65,15 @@ def grid_sample(image, grid):
       halo's 570.4, a 19% step win (round 4).
     - ``tappack``: pack each pixel's OWN edge-clamped 2x2 patch into
       ``(B, H, W, 4C)`` (4 shifted views, one concat), so every bilinear
-      sample is ONE pointwise (1, 1, 4C) gather touching a single tile
-      row, followed by a direct 2x2 lerp — the one-hot window lerp
-      ``halo`` needs costs more than its denser-lane reads save.
+      sample is ONE pointwise gather touching a single tile row, followed
+      by a direct 2x2 lerp — the one-hot window lerp ``halo`` needs costs
+      more than its denser-lane reads save. Since round 5 the gather runs
+      over the row-major rank-2 ``(H*W, 4C)`` view with a single
+      flattened index column (``tappackflat`` is an alias), measured
+      faster than the rank-3 two-column form at every batch size on the
+      v5e (b3 93.9 vs 95.1 ms, b8 203.4 vs 212.9, b16 437.3 vs 462.2);
+      ``tappack3d`` keeps the legacy rank-3 gather, ``tappack16`` a
+      16-lane zero-padded variant (measured neutral, BENCH.md round 5).
     - ``halo``: haloed space-to-depth gather — ONE pointwise (1, 1, 16C)
       gather per sample from ``(B, ceil(H/2), ceil(W/2), 16C)`` cells of
       4x4 windows (see ``_halo_pack``), then a 4x4 one-hot row/col lerp.
@@ -89,9 +95,9 @@ def grid_sample(image, grid):
         mode = "tappack" if B * H * W * itemsize <= 2**22 else "halo"
     if mode == "tappack16" and H >= 2 and W >= 2:
         return _grid_sample_tappack(image, grid, pad16=True)
-    if mode == "tappackflat" and H >= 2 and W >= 2:
-        return _grid_sample_tappack(image, grid, flat=True)
-    if mode == "tappack" and H >= 2 and W >= 2:
+    if mode == "tappack3d" and H >= 2 and W >= 2:
+        return _grid_sample_tappack(image, grid, flat=False)
+    if mode in ("tappack", "tappackflat") and H >= 2 and W >= 2:
         return _grid_sample_tappack(image, grid)
     if mode == "halo" and H >= 2 and W >= 2:
         return _grid_sample_halo(image, grid)
@@ -196,7 +202,7 @@ def _grid_sample_halo(image, grid):
     return out.reshape(B, Ho, Wo, C)
 
 
-def _grid_sample_tappack(image, grid, pad16=False, flat=False):
+def _grid_sample_tappack(image, grid, pad16=False, flat=True):
     """Production formulation below ~1M operand pixels (``auto``): pack
     each pixel's OWN 2x2 edge-clamped patch into ``(B, H, W, 4C)`` (4
     shifted views, one concat), so tap origin (y0, x0) is one pointwise

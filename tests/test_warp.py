@@ -80,7 +80,7 @@ def test_grid_sample_halo_matches_patch_and_torch(rng, monkeypatch, shape):
         return np.asarray(y), np.asarray(gi), np.asarray(gg)
 
     y_h, gi_h, gg_h = run("halo")
-    for alt in ("patch", "tappack", "tappack16", "tappackflat"):
+    for alt in ("patch", "tappack", "tappack16", "tappack3d"):
         y_p, gi_p, gg_p = run(alt)
         np.testing.assert_allclose(y_h, y_p, atol=1e-6)
         np.testing.assert_allclose(gi_h, gi_p, atol=1e-5)
@@ -119,7 +119,9 @@ def test_grid_sample_auto_dispatch(monkeypatch):
     small = jnp.zeros((1, 32, 32, C))
     sgrid = jnp.zeros((1, 4, 4, 2))
     sizes = _gather_slice_sizes(jax.make_jaxpr(grid_sample)(small, sgrid).jaxpr)
-    assert any(s[-1] == 4 * C for s in sizes), sizes  # tappack (1,1,4C)
+    # tappack: the round-5 flat (rank-2 per image) gather — (1, 1, 4C) after
+    # vmap batching; the legacy rank-3 form would show (1, 1, 1, 4C)
+    assert any(s == (1, 1, 4 * C) for s in sizes), sizes
 
     big = jnp.zeros((17, 256, 256, C))  # 17*256*256*4B > 2**22
     bgrid = jnp.zeros((17, 4, 4, 2))
