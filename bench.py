@@ -11,9 +11,11 @@ Baseline: the reference publishes no throughput numbers (SURVEY §6). The
 reference node at ~20 examples/s total (batch 3/GPU, per the README hardware
 note); the north-star target is >4x that on a v5e-8 (BASELINE.md).
 
-By default measures the measured per-example sweet spot (8, BENCH.md) first,
-then the recipe batch (3), and emits the best honest number; pass
-``--batch_size N`` to measure a single configuration. Each leg runs in a
+By default measures the measured per-example sweet spot (7 since round 5:
+174.2 ms/step with the f32 warp operand the corrected ``--image_dtype auto``
+knee now selects, BENCH.md) first, then batch 8 and the recipe batch (3),
+and emits the best honest number; pass ``--batch_size N`` to measure a
+single configuration. Each leg runs in a
 subprocess bounded by the remaining wall-clock budget (DYNAMO_BENCH_BUDGET,
 default 540 s — under the driver's 600 s timeout); legs that don't fit are
 skipped with a message.
@@ -282,8 +284,8 @@ def main():
                          "auto = bf16 for per-device operands >= 2**19 px")
     ap.add_argument("--batch_size", type=int, default=None,
                     help="single batch size to measure; default measures the "
-                         "headline sweet spot (8) then the recipe batch (3), "
-                         "reporting the best completed leg")
+                         "headline sweet spot (7), then 8, then the recipe "
+                         "batch (3), reporting the best completed leg")
     ap.add_argument("--depth_model", default="litemono")
     ap.add_argument("--height", type=int, default=None,
                     help="override the dataset training height (default 192)")
@@ -330,13 +332,13 @@ def main():
         emit_contract(args, [], error=str(e))
         sys.exit(1)
 
-    # Headline (b8, the BENCH.md sweet spot) FIRST so a budget kill during
+    # Headline (b7, the BENCH.md sweet spot) FIRST so a budget kill during
     # a later leg still records the number that matters. Each leg's slice
     # reserves LEG_RESERVE_S per *remaining* leg, so one cold compile
     # cannot starve every later leg (a cold 192x640 b8 server-side compile
     # measures > 9 min — more than the whole driver window).
     LEG_RESERVE_S = 150.0
-    batches = [args.batch_size] if args.batch_size else [8, 3]
+    batches = [args.batch_size] if args.batch_size else [7, 8, 3]
     try:
         for i, b in enumerate(batches):
             remaining = args.budget - (time.monotonic() - t0)

@@ -8,7 +8,7 @@ only after BOTH legs; these tests pin the reworked orchestration:
   later leg is budget-skipped or crashes;
 - zero completed legs -> explicit error JSON + nonzero exit;
 - the SIGTERM handler (GNU timeout's kill signal) emits before dying;
-- legs run headline-first (b8 before b3).
+- legs run headline-first (b7 before b8 before b3).
 """
 
 import json
@@ -51,34 +51,36 @@ def _run_main(monkeypatch, capsys, leg_results, argv=("bench.py",),
 
 def test_headline_leg_runs_first_and_best_wins(monkeypatch, capsys):
     legs = [
-        {"batch_size": 8, "examples_per_sec": 37.6, "ms_per_step": 212.8},
-        {"batch_size": 3, "examples_per_sec": 31.7, "ms_per_step": 94.8},
+        {"batch_size": 7, "examples_per_sec": 40.2, "ms_per_step": 174.2},
+        {"batch_size": 8, "examples_per_sec": 39.3, "ms_per_step": 203.4},
+        {"batch_size": 3, "examples_per_sec": 31.9, "ms_per_step": 93.9},
     ]
     rc, contract, calls = _run_main(monkeypatch, capsys, legs)
     assert rc == 0
-    assert [b for b, _ in calls] == [8, 3]
-    # The first leg's slice reserves 150 s for the remaining leg, so a cold
-    # compile in the headline leg cannot starve the recipe leg.
-    assert calls[0][1] <= 540 - 150 + 1
-    assert calls[1][1] > calls[0][1] - 60  # later leg gets the leftovers
-    assert contract["value"] == 37.6
-    assert contract["metric"].endswith("_b8")
-    assert contract["vs_baseline"] == pytest.approx(37.6 / 20.0, abs=1e-3)
+    assert [b for b, _ in calls] == [7, 8, 3]
+    # The first leg's slice reserves 150 s per remaining leg, so a cold
+    # compile in the headline leg cannot starve the later legs.
+    assert calls[0][1] <= 540 - 2 * 150 + 1
+    assert calls[-1][1] > calls[0][1] - 60  # later legs get the leftovers
+    assert contract["value"] == 40.2
+    assert contract["metric"].endswith("_b7")
+    assert contract["vs_baseline"] == pytest.approx(40.2 / 20.0, abs=1e-3)
 
 
 def test_skipped_leg_still_emits_completed_leg(monkeypatch, capsys):
-    # b8 completes; b3 times out (run_leg returns None) -> contract from b8
+    # b7 completes; b8/b3 time out (run_leg returns None) -> contract from b7
     legs = [
-        {"batch_size": 8, "examples_per_sec": 37.6, "ms_per_step": 212.8},
+        {"batch_size": 7, "examples_per_sec": 40.2, "ms_per_step": 174.2},
+        None,
         None,
     ]
     rc, contract, _ = _run_main(monkeypatch, capsys, legs)
     assert rc == 0
-    assert contract["value"] == 37.6 and "error" not in contract
+    assert contract["value"] == 40.2 and "error" not in contract
 
 
 def test_zero_completed_legs_is_explicit_error(monkeypatch, capsys):
-    rc, contract, _ = _run_main(monkeypatch, capsys, [None, None])
+    rc, contract, _ = _run_main(monkeypatch, capsys, [None, None, None])
     assert rc == 1
     assert contract["value"] is None and "error" in contract
 
@@ -100,16 +102,16 @@ def test_exhausted_budget_skips_later_legs(monkeypatch, capsys):
 
 
 def test_sigterm_handler_emits_contract(monkeypatch, capsys):
-    # Simulate the driver's `timeout` SIGTERM landing mid-b3 after the b8
+    # Simulate the driver's `timeout` SIGTERM landing mid-b8 after the b7
     # leg completed: the handler must print the contract line, then exit 0
     # (a completed headline is a success even if the process was killed).
     exits = []
     monkeypatch.setattr(bench.os, "_exit", lambda code: exits.append(code))
 
     def leg_then_term(args, batch_size, timeout_s):
-        if batch_size == 8:
-            return {"batch_size": 8, "examples_per_sec": 37.6,
-                    "ms_per_step": 212.8}
+        if batch_size == 7:
+            return {"batch_size": 7, "examples_per_sec": 40.2,
+                    "ms_per_step": 174.2}
         signal.raise_signal(signal.SIGTERM)  # driver timeout fires here
         return None
 
@@ -122,9 +124,11 @@ def test_sigterm_handler_emits_contract(monkeypatch, capsys):
         pass
     finally:
         signal.signal(signal.SIGTERM, signal.SIG_DFL)
-    assert exits == [0]
+    # os._exit is stubbed so the handler returns and later legs may raise
+    # again; every exit code must be 0 (a completed headline is a success)
+    assert exits and all(e == 0 for e in exits)
     contract = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert contract["value"] == 37.6
+    assert contract["value"] == 40.2
 
 
 def test_emit_contract_is_idempotent(monkeypatch, capsys):
