@@ -109,10 +109,11 @@ def _gather_slice_sizes(jaxpr):
 def test_grid_sample_auto_dispatch(monkeypatch):
     """DYNAMO_WARP=auto routes small packed-operand working sets to tappack
     ((1,1,4C) gather) and larger ones to halo ((1,1,16C) cell gather), with
-    the threshold in BYTES (B*H*W*itemsize <= 2**22): the measured crossover
-    from BENCH.md's batch A/B — f32 tappack wins at batch 3/8 and loses at
-    batch 16, while a bf16 operand halves the working set and keeps tappack
-    winning at batch 16 (462.2 vs 570.4 ms, round 4). Pin the dispatch so
+    the threshold in BYTES (B*H*W*itemsize <= 3*2**21): the round-5 flat-
+    gather crossover from BENCH.md — f32 flat tappack wins at batch 9
+    (4.42 MB: 279.4 vs 369.9 ms) and loses at batch 16 (7.86 MB: 642.2 vs
+    565.7), while a bf16 operand halves the working set and keeps tappack
+    winning at batch 16 (3.93 MB: 437.3 vs 570.4 ms). Pin the dispatch so
     defaults can't silently flip."""
     monkeypatch.delenv("DYNAMO_WARP", raising=False)
     C = 3
@@ -123,19 +124,26 @@ def test_grid_sample_auto_dispatch(monkeypatch):
     # vmap batching; the legacy rank-3 form would show (1, 1, 1, 4C)
     assert any(s == (1, 1, 4 * C) for s in sizes), sizes
 
-    big = jnp.zeros((17, 256, 256, C))  # 17*256*256*4B > 2**22
-    bgrid = jnp.zeros((17, 4, 4, 2))
+    # the b9-f32 bracket (4.42 MB) sat ABOVE the old 2**22 knee and now
+    # stays tappack — the measured flat-gather win
+    mid = jnp.zeros((17, 256, 256, C))  # 4.46 MB, between 2**22 and 3*2**21
+    mgrid = jnp.zeros((17, 4, 4, 2))
+    sizes = _gather_slice_sizes(jax.make_jaxpr(grid_sample)(mid, mgrid).jaxpr)
+    assert any(s == (1, 1, 4 * C) for s in sizes), sizes
+
+    big = jnp.zeros((25, 256, 256, C))  # 25*256*256*4B = 6.55 MB > 3*2**21
+    bgrid = jnp.zeros((25, 4, 4, 2))
     sizes = _gather_slice_sizes(jax.make_jaxpr(grid_sample)(big, bgrid).jaxpr)
     assert any(s[-1] == 16 * C for s in sizes), sizes  # halo (1,1,16C)
 
     # same pixel count in bf16 halves the bytes -> stays tappack
-    big16 = jnp.zeros((17, 256, 256, C), jnp.bfloat16)
+    big16 = jnp.zeros((25, 256, 256, C), jnp.bfloat16)
     sizes = _gather_slice_sizes(jax.make_jaxpr(grid_sample)(big16, bgrid).jaxpr)
     assert any(s[-1] == 4 * C for s in sizes), sizes  # tappack (1,1,4C)
 
     # 2x the bf16 pixels crosses the byte threshold -> halo
-    big16x2 = jnp.zeros((34, 256, 256, C), jnp.bfloat16)
-    bgrid2 = jnp.zeros((34, 4, 4, 2))
+    big16x2 = jnp.zeros((50, 256, 256, C), jnp.bfloat16)
+    bgrid2 = jnp.zeros((50, 4, 4, 2))
     sizes = _gather_slice_sizes(jax.make_jaxpr(grid_sample)(big16x2, bgrid2).jaxpr)
     assert any(s[-1] == 16 * C for s in sizes), sizes  # halo (1,1,16C)
 
