@@ -55,14 +55,16 @@ def grid_sample(image, grid):
 
     - ``auto`` (default): ``tappack`` while the packed operand's
       per-channel bytes fit the measured working set —
-      ``B*H*W * itemsize <= 3 * 2**21`` (6 MB: f32 ~1.5M px, bf16 ~3.1M
+      ``B*H*W * itemsize <= 7 * 2**20`` (7 MB: f32 ~1.8M px, bf16 ~3.7M
       px) — ``halo`` above. The round-5 flat gather moved the f32
       crossover up from the round-2 rank-3 bracketing (tappack won b8
-      220.5 vs 276.6 ms, lost b16 683.6 vs 569.4): measured on the v5e at
-      192x640 (BENCH.md round 5), flat tappack wins at batch 9-f32
-      (279.4 vs halo's 369.9 ms, 4.42 MB operand) and loses at batch
-      16-f32 (642.2 vs 565.7, 7.86 MB), so the knee sits at 6 MB between
-      the brackets. A bf16 operand halves the bytes and rides the same
+      220.5 vs 276.6 ms, lost b16 683.6 vs 569.4): measured on the v5e
+      at 192x640 (BENCH.md round 5), flat tappack wins at b9-f32 279.4
+      vs halo 369.9 ms (4.42 MB operand), b12-f32 341.5 vs 450.8
+      (5.90 MB), and b14-f32 388.0 vs 513.2 (6.88 MB) — a steady ~24%
+      margin — then loses at b16-f32 642.2 vs 565.7 (7.86 MB), a steep
+      working-set cliff; the knee sits at 7 MB between the b14 win and
+      the b16 loss. A bf16 operand halves the bytes and rides the same
       knee — bf16 tappack at batch 16 (3.93 MB) measures 437.3 ms vs
       halo's 570.4 (rounds 4-5).
     - ``tappack``: pack each pixel's OWN edge-clamped 2x2 patch into
@@ -94,7 +96,7 @@ def grid_sample(image, grid):
     mode = os.environ.get("DYNAMO_WARP", "auto")
     if mode == "auto":
         itemsize = jnp.dtype(image.dtype).itemsize
-        mode = "tappack" if B * H * W * itemsize <= 3 * 2**21 else "halo"
+        mode = "tappack" if B * H * W * itemsize <= 7 * 2**20 else "halo"
     if mode == "tappack16" and H >= 2 and W >= 2:
         return _grid_sample_tappack(image, grid, pad16=True)
     if mode == "tappack3d" and H >= 2 and W >= 2:

@@ -109,12 +109,13 @@ def _gather_slice_sizes(jaxpr):
 def test_grid_sample_auto_dispatch(monkeypatch):
     """DYNAMO_WARP=auto routes small packed-operand working sets to tappack
     ((1,1,4C) gather) and larger ones to halo ((1,1,16C) cell gather), with
-    the threshold in BYTES (B*H*W*itemsize <= 3*2**21): the round-5 flat-
+    the threshold in BYTES (B*H*W*itemsize <= 7*2**20): the round-5 flat-
     gather crossover from BENCH.md — f32 flat tappack wins at batch 9
-    (4.42 MB: 279.4 vs 369.9 ms) and loses at batch 16 (7.86 MB: 642.2 vs
-    565.7), while a bf16 operand halves the working set and keeps tappack
-    winning at batch 16 (3.93 MB: 437.3 vs 570.4 ms). Pin the dispatch so
-    defaults can't silently flip."""
+    (4.42 MB: 279.4 vs 369.9 ms), batch 12 (5.90 MB: 341.5 vs 450.8), and
+    batch 14 (6.88 MB: 388.0 vs 513.2), then loses at batch 16 (7.86 MB:
+    642.2 vs 565.7) — a steep cliff; a bf16 operand halves the working set
+    and keeps tappack winning at batch 16 (3.93 MB: 437.3 vs 570.4 ms).
+    Pin the dispatch so defaults can't silently flip."""
     monkeypatch.delenv("DYNAMO_WARP", raising=False)
     C = 3
     small = jnp.zeros((1, 32, 32, C))
@@ -124,26 +125,26 @@ def test_grid_sample_auto_dispatch(monkeypatch):
     # vmap batching; the legacy rank-3 form would show (1, 1, 1, 4C)
     assert any(s == (1, 1, 4 * C) for s in sizes), sizes
 
-    # the b9-f32 bracket (4.42 MB) sat ABOVE the old 2**22 knee and now
-    # stays tappack — the measured flat-gather win
-    mid = jnp.zeros((17, 256, 256, C))  # 4.46 MB, between 2**22 and 3*2**21
-    mgrid = jnp.zeros((17, 4, 4, 2))
+    # the b14-f32 bracket region (6.55 MB here) sat ABOVE the old 2**22
+    # knee and now stays tappack — the measured flat-gather win
+    mid = jnp.zeros((25, 256, 256, C))  # 6.55 MB, between 2**22 and 7*2**20
+    mgrid = jnp.zeros((25, 4, 4, 2))
     sizes = _gather_slice_sizes(jax.make_jaxpr(grid_sample)(mid, mgrid).jaxpr)
     assert any(s == (1, 1, 4 * C) for s in sizes), sizes
 
-    big = jnp.zeros((25, 256, 256, C))  # 25*256*256*4B = 6.55 MB > 3*2**21
-    bgrid = jnp.zeros((25, 4, 4, 2))
+    big = jnp.zeros((29, 256, 256, C))  # 29*256*256*4B = 7.60 MB > 7*2**20
+    bgrid = jnp.zeros((29, 4, 4, 2))
     sizes = _gather_slice_sizes(jax.make_jaxpr(grid_sample)(big, bgrid).jaxpr)
     assert any(s[-1] == 16 * C for s in sizes), sizes  # halo (1,1,16C)
 
     # same pixel count in bf16 halves the bytes -> stays tappack
-    big16 = jnp.zeros((25, 256, 256, C), jnp.bfloat16)
+    big16 = jnp.zeros((29, 256, 256, C), jnp.bfloat16)
     sizes = _gather_slice_sizes(jax.make_jaxpr(grid_sample)(big16, bgrid).jaxpr)
     assert any(s[-1] == 4 * C for s in sizes), sizes  # tappack (1,1,4C)
 
     # 2x the bf16 pixels crosses the byte threshold -> halo
-    big16x2 = jnp.zeros((50, 256, 256, C), jnp.bfloat16)
-    bgrid2 = jnp.zeros((50, 4, 4, 2))
+    big16x2 = jnp.zeros((58, 256, 256, C), jnp.bfloat16)
+    bgrid2 = jnp.zeros((58, 4, 4, 2))
     sizes = _gather_slice_sizes(jax.make_jaxpr(grid_sample)(big16x2, bgrid2).jaxpr)
     assert any(s[-1] == 16 * C for s in sizes), sizes  # halo (1,1,16C)
 
