@@ -149,6 +149,30 @@ def test_grid_sample_auto_dispatch(monkeypatch):
     assert any(s[-1] == 16 * C for s in sizes), sizes  # halo (1,1,16C)
 
 
+@pytest.mark.parametrize(
+    "batch,dtype,expect_lanes",
+    [
+        # the exact v5e-measured KITTI 192x640 bracketing shapes (BENCH.md
+        # round 5): f32 flat tappack wins through b14 (6.88 MB), halo wins
+        # at b16 (7.86 MB); bf16 b16 (3.93 MB) stays tappack
+        (12, jnp.float32, 4 * 3),
+        (14, jnp.float32, 4 * 3),
+        (16, jnp.float32, 16 * 3),
+        (16, jnp.bfloat16, 4 * 3),
+    ],
+)
+def test_grid_sample_auto_dispatch_kitti_shapes(monkeypatch, batch, dtype,
+                                                expect_lanes):
+    """Pin the auto routing at the production 192x640 shapes the knee was
+    measured on, so a threshold edit that silently flips a *measured* batch
+    config fails loudly (abstract 256x256 shapes alone wouldn't)."""
+    monkeypatch.delenv("DYNAMO_WARP", raising=False)
+    img = jnp.zeros((batch, 192, 640, 3), dtype)
+    grid = jnp.zeros((batch, 4, 4, 2))
+    sizes = _gather_slice_sizes(jax.make_jaxpr(grid_sample)(img, grid).jaxpr)
+    assert any(s[-1] == expect_lanes for s in sizes), (batch, dtype, sizes)
+
+
 @pytest.mark.parametrize("out_hw", [(6, 10), (17, 23), (9, 13)])
 def test_resize_bilinear_matches_torch(rng, out_hw):
     B, H, W, C = 2, 9, 13, 3
